@@ -1,0 +1,17 @@
+"""Channel model: sifted-key generation + exact-weight error injection."""
+
+from qkd_ldpc_tpu.channel.keys import (
+    derive_point_key,
+    generate_random_bits,
+    introduce_errors,
+    make_trial_batch,
+    num_errors_for,
+)
+
+__all__ = [
+    "derive_point_key",
+    "generate_random_bits",
+    "introduce_errors",
+    "make_trial_batch",
+    "num_errors_for",
+]

@@ -1,0 +1,95 @@
+"""Sifted-key generation and the exact-weight binary channel.
+
+TPU-native counterpart of the reference's PRNG + channel layer:
+
+- Alice's key: uniform i.i.d. bits (reference ``generate_random_bit_array``,
+  ``src/array_and_matrix_operations.cpp:424-431``, Xoshiro256++ based).
+  Here: counter-based ``jax.random`` (threefry) bits — generated on device,
+  reproducible regardless of batch sharding.
+- Bob's key: **exact-weight** error injection — exactly ``floor(N * qber)``
+  bit flips at uniformly random positions, returning the *actual* QBER
+  ``floor(N*q)/N`` (reference ``introduce_errors``,
+  ``src/array_and_matrix_operations.cpp:434-460``, which Fisher-Yates
+  shuffles all N indices and flips the first k).  Here the same
+  distribution is sampled scatter-free: per-bit uniform scores are ranked
+  (argsort-of-argsort), and the k lowest ranks flip.  A rank permutation of
+  i.i.d. scores is exactly a uniform random permutation, so the flip-set
+  law matches the reference's shuffle.
+
+Determinism contract (the analog of the reference's ``seeds[k] + curr_sim``
+scheme, ``src/simulation.cpp:222-228,247``): the master seed and the sweep
+point index derive a point key via ``fold_in``; trial t within the point
+uses ``fold_in(point_key, t)``.  Results are bit-for-bit reproducible for a
+given seed, independent of batch size, device count, or sharding — the
+TPU-world equivalent of the reference's thread-schedule independence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def derive_point_key(master_seed: int, sweep_index: int) -> jax.Array:
+    """PRNG key for one (matrix, QBER) sweep point."""
+    return jax.random.fold_in(jax.random.PRNGKey(master_seed), sweep_index)
+
+
+def num_errors_for(n_bits: int, qber: float) -> int:
+    """Exact error count floor(N * q) — 0 means the key is too small for
+    this QBER, which the reference treats as fatal (simulation.cpp:170-175)."""
+    return int(n_bits * qber)
+
+
+def generate_random_bits(key: jax.Array, n_bits: int, batch: int) -> jax.Array:
+    """Alice's sifted keys: [batch, n_bits] uint8 i.i.d. uniform bits."""
+    return jax.random.bernoulli(key, 0.5, (batch, n_bits)).astype(jnp.uint8)
+
+
+def introduce_errors(
+    key: jax.Array,
+    bits: jax.Array,  # [B, N] uint8
+    num_errors,  # scalar int (may be traced)
+) -> jax.Array:
+    """Flip exactly ``num_errors`` uniformly random positions per frame."""
+    B, N = bits.shape
+    scores = jax.random.uniform(key, (B, N))
+    # rank[i] = position of bit i in a uniform random permutation.
+    order = jnp.argsort(scores, axis=1)
+    ranks = jnp.argsort(order, axis=1)
+    flip = ranks < jnp.asarray(num_errors, jnp.int32)
+    return jnp.where(flip, bits ^ 1, bits).astype(jnp.uint8)
+
+
+def make_trial_batch(
+    point_key: jax.Array,
+    n_bits: int,
+    batch: int,
+    num_errors,
+    trial_offset=0,
+) -> tuple[jax.Array, jax.Array]:
+    """Generate (alice, bob) key batches for trials [offset, offset+batch).
+
+    Each trial gets its own derived key so the stream is independent of the
+    batch partitioning (a sweep chunked as 2x512 or 1x1024 sees identical
+    trials).
+    """
+    trial_ids = jnp.arange(batch, dtype=jnp.uint32) + jnp.asarray(
+        trial_offset, jnp.uint32
+    )
+    trial_keys = jax.vmap(lambda t: jax.random.fold_in(point_key, t))(trial_ids)
+    alice_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(trial_keys)
+    error_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(trial_keys)
+
+    alice = jax.vmap(
+        lambda k: jax.random.bernoulli(k, 0.5, (n_bits,)).astype(jnp.uint8)
+    )(alice_keys)
+
+    def flip_one(k, a):
+        scores = jax.random.uniform(k, (n_bits,))
+        ranks = jnp.argsort(jnp.argsort(scores))
+        flip = ranks < jnp.asarray(num_errors, jnp.int32)
+        return jnp.where(flip, a ^ 1, a).astype(jnp.uint8)
+
+    bob = jax.vmap(flip_one)(error_keys, alice)
+    return alice, bob

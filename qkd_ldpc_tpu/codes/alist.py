@@ -1,0 +1,125 @@
+"""alist parity-check-matrix format reader/writer.
+
+Format: http://www.inference.org.uk/mackay/codes/alist.html (also
+https://rptu.de/channel-codes/matrix-file-formats).  Parsing semantics and
+validation mirror the reference's ``read_sparse_alist_matrix``
+(``src/array_and_matrix_operations.cpp:109-292``): header/body consistency
+checks, per-line non-zero counts vs the declared weights, and 1-based to
+0-based index conversion.  Zero-padded entries inside adjacency lines
+(used by alist for irregular codes) are dropped.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode, from_check_adjacency
+
+
+def _parse_int_lines(text: str, path: str) -> list[list[int]]:
+    lines = text.splitlines()
+    if not lines:
+        raise ValueError(f"File is empty or cannot be read properly: {path}")
+    out = []
+    for line in lines:
+        try:
+            out.append([int(tok) for tok in line.split()])
+        except ValueError as e:
+            raise ValueError(f"An error occurred while parsing file: {path}") from e
+    return out
+
+
+def parse_alist(text: str, path: str = "<string>", name: str = "") -> LDPCCode:
+    """Parse alist-format text into an :class:`LDPCCode`."""
+    vec = _parse_int_lines(text, path)
+    if len(vec) < 4:
+        raise ValueError(f"Insufficient data in the file: {path}")
+    if len(vec[0]) != 2 or len(vec[1]) != 2:
+        raise ValueError(f"File format does not match the alist format: {path}")
+
+    n_cols, n_rows = vec[0]
+    max_col_w, max_row_w = vec[1]
+    col_weights = vec[2]
+    row_weights = vec[3]
+
+    if len(vec) < 4 + len(col_weights) + len(row_weights):
+        raise ValueError(f"Insufficient data in the file: {path}")
+    if n_cols != len(col_weights):
+        raise ValueError(
+            f"Number of columns '{n_cols}' is not the same as the length of "
+            f"the third line '{len(col_weights)}'. File: {path}"
+        )
+    if n_rows != len(row_weights):
+        raise ValueError(
+            f"Number of rows '{n_rows}' is not the same as the length of "
+            f"the fourth line '{len(row_weights)}'. File: {path}"
+        )
+    if max(col_weights) > max_col_w or max(row_weights) > max_row_w:
+        raise ValueError(f"Declared max weights are inconsistent. File: {path}")
+
+    col_lines = vec[4 : 4 + n_cols]
+    row_lines = vec[4 + n_cols : 4 + n_cols + n_rows]
+
+    # Non-zero counts per adjacency line must match the declared weights
+    # (reference validation at array_and_matrix_operations.cpp:209-243).
+    for i, line in enumerate(col_lines):
+        nz = sum(1 for x in line if x != 0)
+        if nz != col_weights[i]:
+            raise ValueError(
+                f"Number of non-zero elements '{nz}' in the line '{4 + i + 1}' "
+                f"does not match the weight in the third line "
+                f"'{col_weights[i]}'. File: {path}"
+            )
+    for i, line in enumerate(row_lines):
+        nz = sum(1 for x in line if x != 0)
+        if nz != row_weights[i]:
+            raise ValueError(
+                f"Number of non-zero elements '{nz}' in the line "
+                f"'{4 + n_cols + i + 1}' does not match the weight in the "
+                f"fourth line '{row_weights[i]}'. File: {path}"
+            )
+
+    # Build from the row (check-node) adjacency; 1-based -> 0-based.
+    check_neighbors = [
+        np.array([x - 1 for x in line if x != 0], dtype=np.int64)
+        for line in row_lines
+    ]
+    code = from_check_adjacency(check_neighbors, n_vars=n_cols, name=name)
+
+    # Cross-validate the column adjacency against the derived one.
+    for v, line in enumerate(col_lines):
+        declared = sorted(x - 1 for x in line if x != 0)
+        derived = sorted(code.var_adj[v, code.var_mask[v]].tolist())
+        if declared != derived:
+            raise ValueError(
+                f"Column adjacency for variable {v + 1} disagrees with row "
+                f"adjacency. File: {path}"
+            )
+    return code
+
+
+def read_alist(path: str | Path) -> LDPCCode:
+    """Read an alist file into an :class:`LDPCCode`."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Failed to open file: {path}")
+    return parse_alist(path.read_text(), str(path), name=path.name)
+
+
+def write_alist(code: LDPCCode, path: str | Path) -> None:
+    """Write a code in alist format (1-based, no zero padding)."""
+    lines = [
+        f"{code.n_vars} {code.n_checks}",
+        f"{code.dv_max} {code.dc_max}",
+        " ".join(str(int(d)) for d in code.var_deg),
+        " ".join(str(int(d)) for d in code.chk_deg),
+    ]
+    for v in range(code.n_vars):
+        nbrs = code.var_adj[v, code.var_mask[v]] + 1
+        lines.append(" ".join(str(int(c)) for c in nbrs))
+    for c in range(code.n_checks):
+        nbrs = code.chk_adj[c, code.chk_mask[c]] + 1
+        lines.append(" ".join(str(int(v)) for v in nbrs))
+    Path(path).write_text("\n".join(lines) + "\n")

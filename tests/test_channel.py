@@ -1,0 +1,71 @@
+"""Channel-model tests: exact error weight, determinism contract."""
+
+import jax
+import numpy as np
+
+from qkd_ldpc_tpu.channel import (
+    derive_point_key,
+    generate_random_bits,
+    introduce_errors,
+    make_trial_batch,
+    num_errors_for,
+)
+
+
+def test_num_errors_floor_semantics():
+    # floor(N*q), the reference's exact-count rule (amo.cpp:436).
+    assert num_errors_for(10240, 0.05) == 512
+    assert num_errors_for(10240, 0.0005) == 5
+    assert num_errors_for(6, 0.05) == 0  # too small -> fatal upstream
+
+
+def test_exact_error_count():
+    key = jax.random.PRNGKey(0)
+    bits = generate_random_bits(key, 512, 8)
+    bob = introduce_errors(jax.random.fold_in(key, 1), bits, 37)
+    diff = (np.asarray(bits) ^ np.asarray(bob)).sum(axis=1)
+    np.testing.assert_array_equal(diff, np.full(8, 37))
+
+
+def test_zero_errors_copies():
+    key = jax.random.PRNGKey(0)
+    bits = generate_random_bits(key, 64, 4)
+    bob = introduce_errors(jax.random.fold_in(key, 1), bits, 0)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(bob))
+
+
+def test_error_positions_uniform():
+    # Flip-set law: each position flipped with probability k/N.
+    key = jax.random.PRNGKey(42)
+    n, k, reps = 64, 8, 2000
+    bits = generate_random_bits(key, n, reps)
+    bob = introduce_errors(jax.random.fold_in(key, 1), bits, k)
+    flips = (np.asarray(bits) ^ np.asarray(bob)).mean(axis=0)
+    assert abs(flips.mean() - k / n) < 1e-9  # exact weight per frame
+    assert flips.std() < 0.03  # roughly uniform across positions
+
+
+def test_trial_batch_partition_independence():
+    # The same trials arise whether generated as one batch or two chunks —
+    # the analog of the reference's thread-schedule-independent seeding
+    # (simulation.cpp:222-228,247).
+    pk = derive_point_key(777, 3)
+    a_full, b_full = make_trial_batch(pk, 128, 16, 6, trial_offset=0)
+    a_lo, b_lo = make_trial_batch(pk, 128, 8, 6, trial_offset=0)
+    a_hi, b_hi = make_trial_batch(pk, 128, 8, 6, trial_offset=8)
+    np.testing.assert_array_equal(np.asarray(a_full[:8]), np.asarray(a_lo))
+    np.testing.assert_array_equal(np.asarray(a_full[8:]), np.asarray(a_hi))
+    np.testing.assert_array_equal(np.asarray(b_full[:8]), np.asarray(b_lo))
+    np.testing.assert_array_equal(np.asarray(b_full[8:]), np.asarray(b_hi))
+
+
+def test_trial_batch_error_weight():
+    pk = derive_point_key(1, 0)
+    a, b = make_trial_batch(pk, 256, 32, 13)
+    diff = (np.asarray(a) ^ np.asarray(b)).sum(axis=1)
+    np.testing.assert_array_equal(diff, np.full(32, 13))
+
+
+def test_point_keys_distinct():
+    k0, k1 = derive_point_key(7, 0), derive_point_key(7, 1)
+    assert not np.array_equal(np.asarray(k0), np.asarray(k1))
