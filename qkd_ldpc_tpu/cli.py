@@ -1,0 +1,99 @@
+"""Command-line entry point.
+
+The reference's ``main()`` (``src/main.cpp:15-68``) takes no arguments and
+hard-codes every path at compile time; this CLI keeps its behavior (config
+JSON -> batch or interactive mode over a matrix directory -> CSV) but makes
+paths proper arguments.
+
+Usage:
+    python -m qkd_ldpc_tpu --config config.json [--matrix-dir DIR]
+                           [--results-dir DIR] [--interactive]
+    python -m qkd_ldpc_tpu generate --n 10240 --m 5231 --dv 3 --seed 666 -o out.alist
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from qkd_ldpc_tpu.config import load_config
+
+
+def _default_matrix_dir(cfg, base: Path) -> Path:
+    # Mirrors the reference's directory dispatch (main.cpp:23).
+    sub = "dense_matrices" if cfg.use_dense_matrices else "alist_sparse_matrices"
+    return base / sub
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="qkd_ldpc_tpu",
+        description="TPU-native QKD LDPC error-reconciliation simulator",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    run = sub.add_parser("run", help="run a simulation sweep (default)")
+    for p in (parser, run):
+        p.add_argument("--config", default="config.json", help="config JSON path")
+        p.add_argument("--matrix-dir", default="", help="matrix directory")
+        p.add_argument("--results-dir", default="", help="results directory")
+        p.add_argument(
+            "--interactive", action="store_true", help="interactive mode"
+        )
+        p.add_argument("--no-progress", action="store_true")
+
+    gen = sub.add_parser("generate", help="generate a random LDPC code")
+    gen.add_argument("--n", type=int, required=True)
+    gen.add_argument("--m", type=int, required=True)
+    gen.add_argument("--dv", type=int, default=3)
+    gen.add_argument("--seed", type=int, default=0)
+    gen.add_argument("-o", "--output", required=True)
+    gen.add_argument("--dense", action="store_true", help="write dense format")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "generate":
+        from qkd_ldpc_tpu.codes import make_code, write_alist, write_dense
+
+        code = make_code(n=args.n, m=args.m, dv=args.dv, seed=args.seed)
+        (write_dense if args.dense else write_alist)(code, args.output)
+        print(f"Wrote {code} -> {args.output}")
+        return 0
+
+    try:
+        cfg = load_config(args.config)
+        base = Path(args.config).resolve().parent
+        matrix_dir = Path(args.matrix_dir or cfg.matrix_dir or _default_matrix_dir(cfg, base))
+        results_dir = Path(args.results_dir or cfg.results_dir)
+        if not results_dir.is_absolute():
+            results_dir = base / results_dir
+
+        if args.interactive or cfg.interactive_mode:
+            print("INTERACTIVE MODE")
+            from qkd_ldpc_tpu.sim import interactive_simulation
+
+            interactive_simulation(cfg, matrix_dir)
+        else:
+            print("BATCH MODE")
+            from qkd_ldpc_tpu.sim import simulate_directory, write_results
+
+            results = simulate_directory(
+                cfg, matrix_dir, progress=not args.no_progress
+            )
+            path = write_results(
+                results,
+                results_dir,
+                cfg.trials_number,
+                cfg.sum_product_max_iterations,
+                cfg.simulation_seed,
+            )
+            print(f"The results have been written to: {path}")
+    except Exception as e:  # match reference main()'s catch-all exit(1)
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

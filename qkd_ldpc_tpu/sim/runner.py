@@ -1,0 +1,252 @@
+"""Monte-Carlo sweep orchestration.
+
+TPU-native replacement for the reference's batch simulator
+(``QKD_LDPC_batch_simulation``, ``src/simulation.cpp:192-316``).  Where the
+reference fork-joins a CPU thread pool over trials (one decode per thread),
+here a whole trial batch is one jitted device program: key generation,
+exact-weight error injection, syndrome computation, batched BP decode, and
+the statistics reduction all fuse into a single XLA executable whose only
+host traffic is seven scalars per batch.
+
+Additions over the reference (SURVEY.md §5 gaps):
+
+- **Checkpoint/resume**: each completed (matrix, QBER) point appends a JSON
+  line; an interrupted sweep resumes where it stopped (the reference loses
+  a dying 5000-trial sweep entirely — CSV is written only at the very end,
+  ``src/main.cpp:51``).
+- **Determinism contract**: point key = fold_in(master_seed, global point
+  index); trial t = fold_in(point_key, t) — reproducible independent of
+  batch size or sharding (the analog of ``seeds[k] + curr_sim``,
+  simulation.cpp:247).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from functools import partial
+from pathlib import Path
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+from qkd_ldpc_tpu.codes import LDPCCode, load_code, list_matrix_files
+from qkd_ldpc_tpu.config import Config
+from qkd_ldpc_tpu.decoder.bp import DecodeOptions
+from qkd_ldpc_tpu.decoder.reconcile import reconcile
+from qkd_ldpc_tpu.sim.planner import rate_based_qber_range
+from qkd_ldpc_tpu.sim.progress import ProgressBar
+from qkd_ldpc_tpu.sim.stats import (
+    PointPartials,
+    SimResult,
+    finalize_point,
+    partials_from_device,
+    reduce_trials,
+)
+
+
+@dataclasses.dataclass
+class SimInput:
+    """One matrix plus its planned QBER sweep (reference ``sim_input``,
+    ``src/simulation.hpp:16-21``)."""
+
+    code: LDPCCode
+    matrix_filename: str
+    qber: list[float]
+
+
+def decode_options_from_config(cfg: Config) -> DecodeOptions:
+    return DecodeOptions(
+        max_iterations=cfg.sum_product_max_iterations,
+        clip_messages=cfg.enable_sum_product_msg_llr_threshold,
+        message_threshold=cfg.sum_product_msg_llr_threshold,
+        algorithm=cfg.decoder,
+        min_sum_alpha=cfg.min_sum_alpha,
+    )
+
+
+def prepare_sim_inputs(
+    matrix_paths: Sequence[str | Path], cfg: Config
+) -> list[SimInput]:
+    """Load all matrices and plan their QBER sweeps
+    (reference ``prepare_sim_inputs``, simulation.cpp:140-158)."""
+    inputs = []
+    for path in matrix_paths:
+        code = load_code(path, dense=cfg.use_dense_matrices)
+        qber = rate_based_qber_range(code.code_rate, cfg.r_qber_parameters)
+        inputs.append(
+            SimInput(code=code, matrix_filename=Path(path).name, qber=qber)
+        )
+    return inputs
+
+
+@partial(jax.jit, static_argnames=("batch", "opts"))
+def _point_batch_step(
+    code: LDPCCode,
+    point_key: jax.Array,
+    num_errors: jax.Array,  # scalar int32 (traced)
+    trial_offset: jax.Array,  # scalar int32 (traced)
+    valid_count: jax.Array,  # scalar int32 (traced)
+    batch: int,
+    opts: DecodeOptions,
+) -> dict[str, jax.Array]:
+    """One fused device step: trials [offset, offset+batch) -> partial sums."""
+    alice, bob = make_trial_batch(
+        point_key, code.n_vars, batch, num_errors, trial_offset
+    )
+    actual_qber = num_errors.astype(jnp.float32) / code.n_vars
+    res = reconcile(code, alice, bob, actual_qber, opts)
+    valid = jnp.arange(batch, dtype=jnp.int32) < valid_count
+    return reduce_trials(
+        res.syndromes_match, res.keys_match, res.iterations,
+        opts.max_iterations, valid,
+    )
+
+
+def run_point(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    tick: Callable[[int], None] | None = None,
+) -> tuple[PointPartials, float]:
+    """Run all trials of one (matrix, QBER) point; returns (partials, actual QBER)."""
+    n_err = num_errors_for(code.n_vars, qber)
+    if n_err == 0:
+        # Reference treats floor(N*q)==0 as fatal (simulation.cpp:170-175).
+        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+    actual_qber = n_err / code.n_vars
+
+    total = PointPartials()
+    offset = 0
+    while offset < trials:
+        valid = min(batch, trials - offset)
+        reduced = _point_batch_step(
+            code,
+            point_key,
+            jnp.asarray(n_err, jnp.int32),
+            jnp.asarray(offset, jnp.int32),
+            jnp.asarray(valid, jnp.int32),
+            batch,
+            opts,
+        )
+        total = total.merge(partials_from_device(reduced, opts.max_iterations))
+        offset += valid
+        if tick is not None:
+            tick(valid)
+    return total, actual_qber
+
+
+def auto_batch_size(cfg: Config, code: LDPCCode) -> int:
+    """Pick a trial batch size: large enough to saturate the chip, small
+    enough to keep message state well under HBM limits."""
+    if cfg.batch_size:
+        return min(cfg.batch_size, cfg.trials_number)
+    # Message state is ~3 tensors of [M, dc_max, B] f32; target <= ~1.5 GB.
+    bytes_per_trial = code.n_checks * code.dc_max * 4 * 6
+    cap = max(1, (3 << 29) // bytes_per_trial)
+    return int(min(cfg.trials_number, 1024, cap))
+
+
+# --------------------------------------------------------------------------
+# Checkpointing
+
+
+def _checkpoint_path(cfg: Config) -> Path | None:
+    if not cfg.checkpoint_dir:
+        return None
+    d = Path(cfg.checkpoint_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    return d / (
+        f"sweep(trial_num={cfg.trials_number},"
+        f"max_sum_prod_iters={cfg.sum_product_max_iterations},"
+        f"seed={cfg.simulation_seed}).jsonl"
+    )
+
+
+def _load_checkpoint(path: Path | None) -> dict[int, dict]:
+    if path is None or not path.exists():
+        return {}
+    done = {}
+    for line in path.read_text().splitlines():
+        if line.strip():
+            rec = json.loads(line)
+            done[rec["sim_number"]] = rec
+    return done
+
+
+def _append_checkpoint(path: Path | None, record: dict) -> None:
+    if path is None:
+        return
+    with path.open("a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+# --------------------------------------------------------------------------
+# Batch simulation
+
+
+def batch_simulation(
+    sim_inputs: Sequence[SimInput],
+    cfg: Config,
+    progress: bool = True,
+) -> list[SimResult]:
+    """Full sweep over all matrices x QBER points (reference
+    ``QKD_LDPC_batch_simulation``), with checkpoint/resume."""
+    opts = decode_options_from_config(cfg)
+    ckpt_path = _checkpoint_path(cfg)
+    done = _load_checkpoint(ckpt_path)
+
+    total_trials = sum(len(si.qber) for si in sim_inputs) * cfg.trials_number
+    bar = ProgressBar(total_trials, enabled=progress)
+
+    results: list[SimResult] = []
+    sim_number = 0
+    for si in sim_inputs:
+        batch = auto_batch_size(cfg, si.code)
+        for qber in si.qber:
+            if sim_number in done:
+                rec = done[sim_number]
+                results.append(SimResult(**rec["result"]))
+                bar.tick(cfg.trials_number)
+                sim_number += 1
+                continue
+
+            point_key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.simulation_seed), sim_number
+            )
+            partials, actual_qber = run_point(
+                si.code, point_key, qber, cfg.trials_number, batch, opts,
+                tick=bar.tick,
+            )
+            result = finalize_point(
+                partials,
+                sim_number=sim_number,
+                matrix_filename=si.matrix_filename,
+                is_regular=si.code.is_regular,
+                num_bit_nodes=si.code.n_vars,
+                num_check_nodes=si.code.n_checks,
+                initial_qber=actual_qber,
+                max_iterations=opts.max_iterations,
+            )
+            results.append(result)
+            _append_checkpoint(
+                ckpt_path,
+                dict(sim_number=sim_number, result=dataclasses.asdict(result)),
+            )
+            sim_number += 1
+    bar.close()
+    return results
+
+
+def simulate_directory(cfg: Config, matrix_dir: str | Path, progress: bool = True):
+    """Convenience: load every matrix in a directory and run the sweep."""
+    paths = list_matrix_files(matrix_dir)
+    if not paths:
+        raise FileNotFoundError(f"Matrix folder is empty: {matrix_dir}")
+    sim_inputs = prepare_sim_inputs(paths, cfg)
+    return batch_simulation(sim_inputs, cfg, progress=progress)

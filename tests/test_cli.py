@@ -1,0 +1,76 @@
+"""CLI tests: batch run end-to-end, interactive mode, code generation."""
+
+import json
+
+import numpy as np
+import pytest
+
+from qkd_ldpc_tpu.cli import main
+from qkd_ldpc_tpu.codes import make_code, write_dense, read_alist
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    (tmp_path / "dense_matrices").mkdir()
+    code = make_code(n=128, m=65, dv=3, seed=3)
+    write_dense(code, tmp_path / "dense_matrices" / "c128.txt")
+    cfg = {
+        "threads_number": 1,
+        "trials_number": 16,
+        "use_config_simulation_seed": True,
+        "simulation_seed": 42,
+        "interactive_mode": False,
+        "sum_product_max_iterations": 100,
+        "use_dense_matrices": True,
+        "trace_qkd_ldpc": False,
+        "trace_sum_product": False,
+        "trace_sum_product_llr": False,
+        "enable_sum_product_msg_llr_threshold": True,
+        "sum_product_msg_llr_threshold": 100.0,
+        "batch_size": 16,
+        "code_rate_QBER_parameters": [
+            {"code_rate": 0.58, "QBER_begin": 0.03, "QBER_end": 0.04, "QBER_step": 0.005}
+        ],
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    return tmp_path
+
+
+def test_batch_run(workspace, capsys):
+    rc = main(["--config", str(workspace / "config.json"), "--no-progress"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "BATCH MODE" in out
+    csvs = list((workspace / "results").iterdir())
+    assert len(csvs) == 1
+    lines = csvs[0].read_text().strip().split("\n")
+    assert len(lines) == 3  # header + 2 QBER points
+    assert lines[1].split(";")[1] == "c128.txt"
+
+
+def test_missing_config_exits_1(tmp_path, capsys):
+    rc = main(["--config", str(tmp_path / "nope.json")])
+    assert rc == 1
+    assert "ERROR" in capsys.readouterr().err
+
+
+def test_interactive(workspace, capsys, monkeypatch):
+    monkeypatch.setattr("builtins.input", lambda _: "1")
+    rc = main(["--config", str(workspace / "config.json"), "--interactive"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "INTERACTIVE MODE" in out
+    assert "Actual QBER" in out
+    assert "Iterations performed" in out
+
+
+def test_generate(tmp_path, capsys):
+    out_path = tmp_path / "gen.alist"
+    rc = main([
+        "generate", "--n", "256", "--m", "128", "--dv", "3",
+        "--seed", "9", "-o", str(out_path),
+    ])
+    assert rc == 0
+    code = read_alist(out_path)
+    assert code.n_vars == 256 and code.n_checks == 128
+    np.testing.assert_array_equal(code.var_deg, np.full(256, 3))
