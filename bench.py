@@ -1,0 +1,114 @@
+"""Headline benchmark: decoded info-bits/s/chip on the N=10240 code.
+
+Reproduces the reference's measured operating point (BASELINE.md): the
+(N=10240, M=5231, R=0.489) column-weight-3 code at QBER 0.05, sum-product
+with 100-iteration cap and LLR clamp 100.0.  The reference decodes
+0.0117 s/frame single-core => ~428,000 info-bits/s (K=5009); vs_baseline
+is measured against that number.
+
+The timed region is the full production pipeline per trial batch: key
+generation, exact-weight error injection, a-priori LLRs, Alice syndrome,
+batched BP decode with early exit, keys-match check, stats reduction —
+one fused XLA program, scalars-only host traffic.
+
+Prints ONE JSON line. Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_INFO_BITS_PER_S = 428_000.0  # reference @ QBER 0.05, 1 CPU core
+QBER = 0.05
+REFERENCE_ALIST = (
+    "/root/reference/alist_sparse_matrices/"
+    "(N=10240,M=5231,R=0.49,CW=3,SEED=666).txt"
+)
+
+
+def _load_flagship():
+    from qkd_ldpc_tpu.codes import make_code, read_alist
+
+    if os.path.exists(REFERENCE_ALIST):
+        return read_alist(REFERENCE_ALIST)
+    return make_code(n=10240, m=5231, dv=3, seed=666, name="flagship-n10240")
+
+
+def main() -> None:
+    from qkd_ldpc_tpu.channel.keys import num_errors_for
+    from qkd_ldpc_tpu.decoder.bp import DecodeOptions
+    from qkd_ldpc_tpu.sim.runner import _point_batch_step
+
+    code = _load_flagship()
+    opts = DecodeOptions(
+        max_iterations=100, clip_messages=True, message_threshold=100.0
+    )
+    # 384 frames measured fastest on v5e (batch-size scan: 128->54M,
+    # 256->73M, 384->90M, 512->77M, 1024->55M info-bits/s).
+    batch = int(os.environ.get("BENCH_BATCH", "384"))
+    reps = int(os.environ.get("BENCH_REPS", "16"))
+    n_err = num_errors_for(code.n_vars, QBER)
+    point_key = jax.random.fold_in(jax.random.PRNGKey(777), 0)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}, code: {code}, batch={batch}", file=sys.stderr)
+
+    def step(offset):
+        return _point_batch_step(
+            code,
+            point_key,
+            jnp.asarray(n_err, jnp.int32),
+            jnp.asarray(offset, jnp.int32),
+            jnp.asarray(batch, jnp.int32),
+            batch,
+            opts,
+        )
+
+    # Warm-up / compile.
+    r = step(0)
+    jax.block_until_ready(r)
+    print(
+        f"warmup: SP success {int(r['n_sp'])}/{batch}, "
+        f"mean iters {float(r['sum_it']) / max(int(r['n_sp']), 1):.2f}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    acc = []
+    for i in range(reps):
+        acc.append(step((i + 1) * batch))
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    trials = batch * reps
+    frames_per_s = trials / dt
+    info_bits_per_s = frames_per_s * code.n_info_bits
+    n_sp = sum(int(a["n_sp"]) for a in acc)
+    mean_it = sum(float(a["sum_it"]) for a in acc) / max(n_sp, 1)
+    print(
+        f"{trials} trials in {dt:.3f}s = {frames_per_s:.1f} frames/s, "
+        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, SP success {n_sp}/{trials}, "
+        f"mean iters {mean_it:.2f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "decoded_info_bits_per_s_chip_n10240_qber05",
+                "value": round(info_bits_per_s, 1),
+                "unit": "info-bits/s",
+                "vs_baseline": round(info_bits_per_s / BASELINE_INFO_BITS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,7 @@ from qkd_ldpc_tpu.channel.keys import (
     generate_random_bits,
     introduce_errors,
     make_trial_batch,
+    make_trials_from_ids,
     num_errors_for,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "generate_random_bits",
     "introduce_errors",
     "make_trial_batch",
+    "make_trials_from_ids",
     "num_errors_for",
 ]

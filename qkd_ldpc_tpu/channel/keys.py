@@ -61,22 +61,19 @@ def introduce_errors(
     return jnp.where(flip, bits ^ 1, bits).astype(jnp.uint8)
 
 
-def make_trial_batch(
+def make_trials_from_ids(
     point_key: jax.Array,
     n_bits: int,
-    batch: int,
+    trial_ids: jax.Array,  # [B] uint32 global trial indices
     num_errors,
-    trial_offset=0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Generate (alice, bob) key batches for trials [offset, offset+batch).
+    """Generate (alice, bob) key batches for explicit global trial indices.
 
-    Each trial gets its own derived key so the stream is independent of the
-    batch partitioning (a sweep chunked as 2x512 or 1x1024 sees identical
-    trials).
+    Each trial gets its own derived key so the stream depends only on
+    (master seed, sweep point, trial index) — independent of how trials are
+    chunked into batches *or sharded across devices* (a sweep chunked as
+    2x512, 1x1024, or split over 8 chips sees identical trials).
     """
-    trial_ids = jnp.arange(batch, dtype=jnp.uint32) + jnp.asarray(
-        trial_offset, jnp.uint32
-    )
     trial_keys = jax.vmap(lambda t: jax.random.fold_in(point_key, t))(trial_ids)
     alice_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(trial_keys)
     error_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(trial_keys)
@@ -93,3 +90,17 @@ def make_trial_batch(
 
     bob = jax.vmap(flip_one)(error_keys, alice)
     return alice, bob
+
+
+def make_trial_batch(
+    point_key: jax.Array,
+    n_bits: int,
+    batch: int,
+    num_errors,
+    trial_offset=0,
+) -> tuple[jax.Array, jax.Array]:
+    """Generate (alice, bob) key batches for trials [offset, offset+batch)."""
+    trial_ids = jnp.arange(batch, dtype=jnp.uint32) + jnp.asarray(
+        trial_offset, jnp.uint32
+    )
+    return make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)

@@ -3,12 +3,20 @@ BEFORE jax is imported, so sharding tests run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional: the ambient environment may point JAX_PLATFORMS at the
+# real TPU tunnel (and a site hook may re-register it at import time);
+# tests must run on the virtual CPU mesh, so force it both through the
+# environment and through jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
