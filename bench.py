@@ -8,8 +8,12 @@ is measured against that number.
 
 The timed region is the full production pipeline per trial batch: key
 generation, exact-weight error injection, a-priori LLRs, Alice syndrome,
-batched BP decode with early exit, keys-match check, stats reduction —
-one fused XLA program, scalars-only host traffic.
+batched BP decode with early exit, keys-match check, stats reduction.
+All ``reps`` batches are chained *sequentially inside one jitted program*
+(lax.scan) and the final scalars are fetched to host — this forces real
+completion and amortizes dispatch/tunnel latency, which on the remote-TPU
+setup is large and makes naive ``block_until_ready`` timing meaningless
+(observed: it can return before the device finishes).
 
 Prints ONE JSON line. Extra diagnostics go to stderr.
 """
@@ -20,9 +24,11 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_INFO_BITS_PER_S = 428_000.0  # reference @ QBER 0.05, 1 CPU core
 QBER = 0.05
@@ -40,61 +46,75 @@ def _load_flagship():
     return make_code(n=10240, m=5231, dv=3, seed=666, name="flagship-n10240")
 
 
+@partial(jax.jit, static_argnames=("batch", "reps", "opts"))
+def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts):
+    """reps sequential trial batches fused into one device program."""
+    from qkd_ldpc_tpu.sim.runner import merge_partials_tree, point_batch_partials
+
+    def body(carry, i):
+        red = point_batch_partials(
+            code, point_key, n_err, start_offset + i * batch,
+            jnp.asarray(batch, jnp.int32), batch, opts,
+        )
+        return merge_partials_tree(carry, red), None
+
+    init = point_batch_partials(
+        code, point_key, n_err, start_offset, jnp.asarray(batch, jnp.int32),
+        batch, opts,
+    )
+    out, _ = jax.lax.scan(body, init, jnp.arange(1, reps, dtype=jnp.int32))
+    return out
+
+
 def main() -> None:
     from qkd_ldpc_tpu.channel.keys import num_errors_for
     from qkd_ldpc_tpu.decoder.bp import DecodeOptions
-    from qkd_ldpc_tpu.sim.runner import _point_batch_step
 
     code = _load_flagship()
     opts = DecodeOptions(
-        max_iterations=100, clip_messages=True, message_threshold=100.0
+        max_iterations=100, clip_messages=True, message_threshold=100.0,
+        algorithm=os.environ.get("BENCH_ALG", "sum-product"),
     )
-    # 384 frames measured fastest on v5e (batch-size scan: 128->54M,
-    # 256->73M, 384->90M, 512->77M, 1024->55M info-bits/s).
     batch = int(os.environ.get("BENCH_BATCH", "384"))
-    reps = int(os.environ.get("BENCH_REPS", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "32"))
     n_err = num_errors_for(code.n_vars, QBER)
     point_key = jax.random.fold_in(jax.random.PRNGKey(777), 0)
 
     dev = jax.devices()[0]
-    print(f"device: {dev}, code: {code}, batch={batch}", file=sys.stderr)
+    print(f"device: {dev}, code: {code}, batch={batch}, reps={reps}, "
+          f"alg={opts.algorithm}", file=sys.stderr)
 
-    def step(offset):
-        return _point_batch_step(
-            code,
-            point_key,
-            jnp.asarray(n_err, jnp.int32),
-            jnp.asarray(offset, jnp.int32),
-            jnp.asarray(batch, jnp.int32),
-            batch,
-            opts,
+    def chunk(start):
+        out = _sweep_chunk(
+            code, point_key, jnp.asarray(n_err, jnp.int32),
+            jnp.asarray(start, jnp.int32), batch, reps, opts,
         )
+        return {k: np.asarray(v) for k, v in out.items()}  # forces completion
 
-    # Warm-up / compile.
-    r = step(0)
-    jax.block_until_ready(r)
+    r = chunk(0)  # warm-up / compile
     print(
-        f"warmup: SP success {int(r['n_sp'])}/{batch}, "
+        f"warmup: SP success {int(r['n_sp'])}/{batch * reps}, "
         f"mean iters {float(r['sum_it']) / max(int(r['n_sp']), 1):.2f}",
         file=sys.stderr,
     )
 
-    t0 = time.perf_counter()
-    acc = []
-    for i in range(reps):
-        acc.append(step((i + 1) * batch))
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+    times = []
+    accs = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        accs.append(chunk((k + 1) * batch * reps))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     trials = batch * reps
     frames_per_s = trials / dt
     info_bits_per_s = frames_per_s * code.n_info_bits
-    n_sp = sum(int(a["n_sp"]) for a in acc)
-    mean_it = sum(float(a["sum_it"]) for a in acc) / max(n_sp, 1)
+    n_sp = sum(int(a["n_sp"]) for a in accs)
+    mean_it = sum(float(a["sum_it"]) for a in accs) / max(n_sp, 1)
     print(
-        f"{trials} trials in {dt:.3f}s = {frames_per_s:.1f} frames/s, "
-        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, SP success {n_sp}/{trials}, "
-        f"mean iters {mean_it:.2f}",
+        f"{trials} trials/chunk, best {dt:.3f}s = {frames_per_s:.1f} frames/s, "
+        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, SP success {n_sp}/{3 * trials}, "
+        f"mean iters {mean_it:.2f} (times: {[f'{t:.3f}' for t in times]})",
         file=sys.stderr,
     )
 

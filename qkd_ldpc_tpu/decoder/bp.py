@@ -148,16 +148,6 @@ def _route(flat: jax.Array, slots: jax.Array, out_rows: int, out_cols: int) -> j
     )
 
 
-def _syndrome_of(z: jax.Array, chk_adj: jax.Array, chk_mask: jax.Array) -> jax.Array:
-    """GF(2) syndrome of decisions z [N, B] -> [M, B] int32."""
-    M, dc = chk_adj.shape
-    zb = jnp.take(z.astype(jnp.int32), chk_adj.reshape(-1), axis=0).reshape(
-        M, dc, z.shape[1]
-    )
-    zb = jnp.where(chk_mask[:, :, None], zb, 0)
-    return jnp.sum(zb, axis=1) & 1
-
-
 def bp_decode_batch_last(
     code: LDPCCode,
     llr: jax.Array,  # [N, B] a-priori LLRs (batch last)
@@ -173,7 +163,6 @@ def bp_decode_batch_last(
     chk_adj = jnp.asarray(code.chk_adj)
     chk_mask = jnp.asarray(code.chk_mask)
     var_slot = jnp.asarray(code.var_slot)
-    chk_slot = jnp.asarray(code.chk_slot)
 
     syndrome = syndrome.astype(jnp.int32)
     syn_sign = jnp.where(syndrome == 1, -1.0, 1.0).astype(dtype)  # [M, B]
@@ -205,8 +194,14 @@ def bp_decode_batch_last(
         total = llr + jnp.sum(Lr_var, axis=1)  # [N, B]
         z = (total <= 0).astype(jnp.int8)
 
-        # (4) decision syndrome + convergence test
-        syn_hat = _syndrome_of(z, chk_adj, chk_mask)
+        # (4+5) one gather of totals into check-major slots serves BOTH the
+        # decision syndrome and the bit-node update: the extrinsic message
+        # on edge (c, j) with variable v is total[v] - Lr_var[v, k(c,j)]
+        # == total[chk_adj[c,j]] - Lr_chk[c,j] (same edge, two layouts) —
+        # so the second routing gather of the naive formulation cancels.
+        tot_chk = jnp.take(total, chk_adj.reshape(-1), axis=0).reshape(M, dc, B)
+        z_chk = jnp.where(chk_mask[:, :, None], (tot_chk <= 0).astype(jnp.int32), 0)
+        syn_hat = jnp.sum(z_chk, axis=1) & 1
         ok = jnp.all(syn_hat == syndrome, axis=0)  # [B]
 
         active = jnp.logical_not(done)
@@ -214,10 +209,7 @@ def bp_decode_batch_last(
         iters = jnp.where(active, it + 1, iters)
         done = jnp.logical_or(done, ok)
 
-        # (5) bit-node update: extrinsic totals routed back to check-major
-        Lq_var = total[:, None, :] - Lr_var  # [N, dv, B]
-        Lq_new = _route(Lq_var.reshape(N * dv, B), chk_slot, M, dc)
-        Lq_new = clip_msgs(Lq_new)
+        Lq_new = clip_msgs(tot_chk - Lr_chk)
         return Lq_new, z_out, iters, done, it + 1
 
     def cond(carry):

@@ -82,8 +82,7 @@ def prepare_sim_inputs(
     return inputs
 
 
-@partial(jax.jit, static_argnames=("batch", "opts"))
-def _point_batch_step(
+def point_batch_partials(
     code: LDPCCode,
     point_key: jax.Array,
     num_errors: jax.Array,  # scalar int32 (traced)
@@ -92,7 +91,12 @@ def _point_batch_step(
     batch: int,
     opts: DecodeOptions,
 ) -> dict[str, jax.Array]:
-    """One fused device step: trials [offset, offset+batch) -> partial sums."""
+    """One fused device step: trials [offset, offset+batch) -> partial sums.
+
+    Traceable (un-jitted) so callers can embed it in larger programs
+    (lax.scan chains, sharded sweeps); ``_point_batch_step`` is the jitted
+    entry the sequential runner uses.
+    """
     alice, bob = make_trial_batch(
         point_key, code.n_vars, batch, num_errors, trial_offset
     )
@@ -102,6 +106,24 @@ def _point_batch_step(
     return reduce_trials(
         res.syndromes_match, res.keys_match, res.iterations,
         opts.max_iterations, valid,
+    )
+
+
+_point_batch_step = jax.jit(
+    point_batch_partials, static_argnames=("batch", "opts")
+)
+
+
+def merge_partials_tree(a: dict, b: dict) -> dict:
+    """Device-side merge of two partial-sum dicts (min/max-aware)."""
+    return dict(
+        n_trials=a["n_trials"] + b["n_trials"],
+        n_sp=a["n_sp"] + b["n_sp"],
+        n_ldpc=a["n_ldpc"] + b["n_ldpc"],
+        sum_it=a["sum_it"] + b["sum_it"],
+        sum_it2=a["sum_it2"] + b["sum_it2"],
+        min_it=jnp.minimum(a["min_it"], b["min_it"]),
+        max_it=jnp.maximum(a["max_it"], b["max_it"]),
     )
 
 
