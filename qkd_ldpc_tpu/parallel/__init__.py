@@ -9,9 +9,15 @@ from qkd_ldpc_tpu.parallel.mesh import (
     replicated,
     trial_sharding,
 )
+from qkd_ldpc_tpu.parallel.node_sharded import (
+    bp_decode_node_sharded,
+    decode_node_sharded,
+)
 from qkd_ldpc_tpu.parallel.sweep import run_point_sharded
 
 __all__ = [
+    "bp_decode_node_sharded",
+    "decode_node_sharded",
     "NODE_AXIS",
     "TRIAL_AXIS",
     "initialize_distributed",

@@ -1,0 +1,98 @@
+"""Intra-frame node-sharded decoding vs the single-chip decoder.
+
+Variable-node partition over a virtual 8-device mesh (SURVEY.md §5
+"long-context / sequence parallelism" analog): results must be bit-exact
+with :func:`qkd_ldpc_tpu.decoder.bp.decode` — same hard decisions, same
+per-frame iteration counts, same convergence verdicts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+from qkd_ldpc_tpu.decoder import DecodeOptions, decode
+from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+from qkd_ldpc_tpu.decoder.syndrome import syndrome
+from qkd_ldpc_tpu.parallel import decode_node_sharded, make_mesh
+from qkd_ldpc_tpu.parallel.mesh import NODE_AXIS
+
+
+def _trial_llr_syn(code, qber, batch, seed):
+    n_err = num_errors_for(code.n_vars, qber)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(seed), code.n_vars, batch,
+        jnp.asarray(n_err, jnp.int32),
+    )
+    llr = apriori_llr(bob, n_err / code.n_vars)
+    syn = syndrome(code, alice)
+    return alice, llr, syn
+
+
+@pytest.mark.parametrize("n_node", [2, 4, 8])
+def test_node_sharded_matches_single_chip(medium_code, n_node):
+    """N=512 divides all tested node counts: pure sharding, no padding."""
+    mesh = make_mesh(n_trial=8 // n_node, n_node=n_node)
+    opts = DecodeOptions(max_iterations=60)
+    _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=16, seed=5)
+
+    ref = decode(medium_code, llr, syn, opts)
+    out = decode_node_sharded(medium_code, llr, syn, opts, mesh)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.syndromes_match), np.asarray(ref.syndromes_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    assert np.asarray(ref.syndromes_match).any()  # non-trivial case
+
+
+def test_node_sharded_padding(hamming_code):
+    """N=7 does not divide 8 shards: dummy-variable padding must not
+    perturb results."""
+    mesh = make_mesh(n_trial=1, n_node=8)
+    opts = DecodeOptions(max_iterations=20)
+    _, llr, syn = _trial_llr_syn(hamming_code, 0.15, batch=8, seed=2)
+
+    ref = decode(hamming_code, llr, syn, opts)
+    out = decode_node_sharded(hamming_code, llr, syn, opts, mesh)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+
+
+def test_node_sharded_single_frame(johnson_code):
+    """Single-frame (unbatched) API parity on the Johnson toy code."""
+    mesh = make_mesh(n_trial=1, n_node=8)
+    opts = DecodeOptions(max_iterations=10)
+    _, llr, syn = _trial_llr_syn(johnson_code, 0.2, batch=1, seed=0)
+
+    ref = decode(johnson_code, llr[0], syn[0], opts)
+    out = decode_node_sharded(johnson_code, llr[0], syn[0], opts, mesh)
+    assert int(out.iterations) == int(ref.iterations)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+
+
+def test_node_sharded_rejects_min_sum(medium_code):
+    mesh = make_mesh(n_trial=4, n_node=2)
+    opts = DecodeOptions(algorithm="min-sum")
+    _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=8, seed=1)
+    with pytest.raises(NotImplementedError):
+        decode_node_sharded(medium_code, llr, syn, opts, mesh)
+
+
+def test_node_only_mesh(medium_code):
+    """A pure 1-D node mesh (no trial axis) also works: batch replicated."""
+    devices = np.asarray(jax.devices())
+    from jax.sharding import Mesh
+
+    mesh = Mesh(devices.reshape(-1), (NODE_AXIS,))
+    opts = DecodeOptions(max_iterations=40)
+    _, llr, syn = _trial_llr_syn(medium_code, 0.02, batch=4, seed=9)
+    ref = decode(medium_code, llr, syn, opts)
+    out = decode_node_sharded(medium_code, llr, syn, opts, mesh)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
