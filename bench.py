@@ -48,8 +48,14 @@ def _load_flagship():
 
 @partial(jax.jit, static_argnames=("batch", "reps", "opts"))
 def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts):
-    """reps sequential trial batches fused into one device program."""
+    """reps sequential trial batches fused into one device program.
+
+    Returns the stacked [7] int32 stat vector so the result comes home in
+    ONE device->host transfer (a dict of 7 scalars costs 7 sequential
+    ~25 ms round-trips over the remote-TPU tunnel).
+    """
     from qkd_ldpc_tpu.sim.runner import merge_partials_tree, point_batch_partials
+    from qkd_ldpc_tpu.sim.stats import stack_partials
 
     def body(carry, i):
         red = point_batch_partials(
@@ -63,20 +69,26 @@ def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts):
         batch, opts,
     )
     out, _ = jax.lax.scan(body, init, jnp.arange(1, reps, dtype=jnp.int32))
-    return out
+    return stack_partials(out)
 
 
 def main() -> None:
     from qkd_ldpc_tpu.channel.keys import num_errors_for
     from qkd_ldpc_tpu.decoder.bp import DecodeOptions
 
-    code = _load_flagship()
+    # Device-resident adjacency: avoid re-uploading the code's host numpy
+    # leaves on every chunk call (the remote-TPU link makes that costly).
+    code = _load_flagship().to_device()
     opts = DecodeOptions(
         max_iterations=100, clip_messages=True, message_threshold=100.0,
         algorithm=os.environ.get("BENCH_ALG", "sum-product"),
+        # bf16 message storage (f32 compute): FER and per-trial iteration
+        # counts validated identical to f32 across the full QBER sweep
+        # (PARITY.md); ~2x less HBM traffic in the decode loop.
+        message_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
     )
-    batch = int(os.environ.get("BENCH_BATCH", "384"))
-    reps = int(os.environ.get("BENCH_REPS", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    reps = int(os.environ.get("BENCH_REPS", "96"))
     n_err = num_errors_for(code.n_vars, QBER)
     point_key = jax.random.fold_in(jax.random.PRNGKey(777), 0)
 
@@ -89,7 +101,10 @@ def main() -> None:
             code, point_key, jnp.asarray(n_err, jnp.int32),
             jnp.asarray(start, jnp.int32), batch, reps, opts,
         )
-        return {k: np.asarray(v) for k, v in out.items()}  # forces completion
+        from qkd_ldpc_tpu.sim.stats import STAT_KEYS
+
+        v = np.asarray(out)  # single fetch; forces completion
+        return dict(zip(STAT_KEYS, v.tolist()))
 
     r = chunk(0)  # warm-up / compile
     print(

@@ -46,6 +46,35 @@ def generate_random_bits(key: jax.Array, n_bits: int, batch: int) -> jax.Array:
     return jax.random.bernoulli(key, 0.5, (batch, n_bits)).astype(jnp.uint8)
 
 
+def _exact_weight_mask(scores: jax.Array, num_errors) -> jax.Array:
+    """Boolean mask with exactly ``num_errors`` True per row, uniformly
+    placed, from i.i.d. uint32 ``scores`` [..., N].
+
+    Selection-by-threshold instead of rank-by-double-argsort: sort the
+    *values* once, take the k-th smallest as a threshold, flip everything
+    strictly below it, and complete the count from the threshold ties in
+    index order (cumsum).  One value-only sort replaces two key-value
+    sorts — ~2x cheaper on TPU, and the flip count is exact even with
+    score collisions.  Collisions among 32-bit scores are ~N^2/2^33 per
+    frame (≈0.01 for N=10240), and only the tie-completion order is
+    index-biased then, so the flip-set law is uniform to well below
+    Monte-Carlo resolution (the reference's Fisher-Yates shuffle,
+    ``src/array_and_matrix_operations.cpp:434-460``, is exactly uniform).
+    """
+    k = jnp.asarray(num_errors, jnp.int32)
+    sorted_scores = jnp.sort(scores, axis=-1)
+    # k >= 1 is validated by callers (floor(N*q)==0 is fatal upstream);
+    # clamp anyway so a zero k yields an all-False mask, not UB.
+    thresh = jnp.take(sorted_scores, jnp.maximum(k - 1, 0), axis=-1)[..., None]
+    below = scores < thresh
+    at = scores == thresh
+    n_below = jnp.sum(below, axis=-1, keepdims=True)
+    tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=-1) - 1
+    need = jnp.asarray(k, jnp.int32) - n_below
+    mask = below | (at & (tie_rank < need))
+    return jnp.where(k > 0, mask, False)
+
+
 def introduce_errors(
     key: jax.Array,
     bits: jax.Array,  # [B, N] uint8
@@ -53,11 +82,8 @@ def introduce_errors(
 ) -> jax.Array:
     """Flip exactly ``num_errors`` uniformly random positions per frame."""
     B, N = bits.shape
-    scores = jax.random.uniform(key, (B, N))
-    # rank[i] = position of bit i in a uniform random permutation.
-    order = jnp.argsort(scores, axis=1)
-    ranks = jnp.argsort(order, axis=1)
-    flip = ranks < jnp.asarray(num_errors, jnp.int32)
+    scores = jax.random.bits(key, (B, N), jnp.uint32)
+    flip = _exact_weight_mask(scores, num_errors)
     return jnp.where(flip, bits ^ 1, bits).astype(jnp.uint8)
 
 
@@ -83,9 +109,8 @@ def make_trials_from_ids(
     )(alice_keys)
 
     def flip_one(k, a):
-        scores = jax.random.uniform(k, (n_bits,))
-        ranks = jnp.argsort(jnp.argsort(scores))
-        flip = ranks < jnp.asarray(num_errors, jnp.int32)
+        scores = jax.random.bits(k, (n_bits,), jnp.uint32)
+        flip = _exact_weight_mask(scores, num_errors)
         return jnp.where(flip, a ^ 1, a).astype(jnp.uint8)
 
     bob = jax.vmap(flip_one)(error_keys, alice)

@@ -78,6 +78,25 @@ class LDPCCode:
         """K = N - M information bits per frame."""
         return self.n_vars - self.n_checks
 
+    def to_device(self, sharding=None) -> "LDPCCode":
+        """Copy of this code with device-resident array leaves.
+
+        Adjacency tensors ingest as host numpy; passing them to a jitted
+        function re-transfers them every call (costly over a remote-device
+        link).  Hot paths place the code once and reuse it.
+        """
+        import jax
+
+        put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.numpy.asarray
+        return dataclasses.replace(
+            self,
+            **{
+                f.name: put(getattr(self, f.name))
+                for f in dataclasses.fields(self)
+                if not f.metadata.get("static") and getattr(self, f.name) is not None
+            },
+        )
+
     @cached_property
     def dense(self) -> np.ndarray:
         """Materialize H as a dense uint8 [M, N] matrix (tests/small codes)."""

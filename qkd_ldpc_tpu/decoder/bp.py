@@ -75,10 +75,18 @@ class DecodeOptions:
     message_threshold: float = 100.0  # SUM_PRODUCT_MSG_LLR_THRESHOLD
     algorithm: str = "sum-product"  # "sum-product" | "min-sum"
     min_sum_alpha: float = 0.8  # normalized min-sum scaling
+    # Storage dtype of the edge-message state.  "bfloat16" halves the HBM
+    # traffic of the decode loop (the TPU bottleneck); all transcendentals,
+    # row reductions, and totals still compute in float32, and only the
+    # per-edge messages round through bf16.  FER/iteration parity vs
+    # float32 is validated in tests/test_parity.py.
+    message_dtype: str = "float32"  # "float32" | "bfloat16"
 
     def __post_init__(self):
         if self.algorithm not in ("sum-product", "min-sum"):
             raise ValueError(f"Unknown algorithm {self.algorithm!r}")
+        if self.message_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"Unknown message_dtype {self.message_dtype!r}")
 
 
 def _check_update_sum_product(
@@ -159,6 +167,8 @@ def bp_decode_batch_last(
     dv, dc = code.dv_max, code.dc_max
     B = llr.shape[1]
     dtype = llr.dtype
+    # Storage dtype of the big per-edge tensors; compute stays in `dtype`.
+    mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
 
     chk_adj = jnp.asarray(code.chk_adj)
     chk_mask = jnp.asarray(code.chk_mask)
@@ -170,7 +180,7 @@ def bp_decode_batch_last(
 
     # Message initialization: Lq[c, j] = llr[chk_adj[c, j]]
     # (reference qkd_ldpc_algorithm.cpp:10-18).
-    Lq0 = jnp.take(llr, chk_adj.reshape(-1), axis=0).reshape(M, dc, B)
+    Lq0 = jnp.take(llr, chk_adj.reshape(-1), axis=0).reshape(M, dc, B).astype(mdt)
 
     def clip_msgs(x):
         if opts.clip_messages:
@@ -180,18 +190,19 @@ def bp_decode_batch_last(
     def body(carry):
         Lq, z_out, iters, done, it = carry
 
-        # (1) check-node update, check-major layout
+        # (1) check-node update, check-major layout (compute in f32)
+        Lq_f = Lq.astype(dtype)
         if opts.algorithm == "min-sum":
-            Lr_chk = _check_update_min_sum(Lq, chk_mask, syn_sign, opts.min_sum_alpha)
+            Lr_chk = _check_update_min_sum(Lq_f, chk_mask, syn_sign, opts.min_sum_alpha)
         else:
-            Lr_chk = _check_update_sum_product(Lq, chk_mask, syn_sign)
-        Lr_chk = clip_msgs(Lr_chk)
+            Lr_chk = _check_update_sum_product(Lq_f, chk_mask, syn_sign)
+        Lr_chk = clip_msgs(Lr_chk).astype(mdt)
 
         # (2) route check->bit messages to variable-major layout
         Lr_var = _route(Lr_chk.reshape(M * dc, B), var_slot, N, dv)
 
         # (3) totals + hard decision (total <= 0 -> 1)
-        total = llr + jnp.sum(Lr_var, axis=1)  # [N, B]
+        total = llr + jnp.sum(Lr_var.astype(dtype), axis=1)  # [N, B]
         z = (total <= 0).astype(jnp.int8)
 
         # (4+5) one gather of totals into check-major slots serves BOTH the
@@ -209,7 +220,7 @@ def bp_decode_batch_last(
         iters = jnp.where(active, it + 1, iters)
         done = jnp.logical_or(done, ok)
 
-        Lq_new = clip_msgs(tot_chk - Lr_chk)
+        Lq_new = clip_msgs(tot_chk - Lr_chk.astype(dtype)).astype(mdt)
         return Lq_new, z_out, iters, done, it + 1
 
     def cond(carry):

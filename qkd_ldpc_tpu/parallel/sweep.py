@@ -28,7 +28,12 @@ from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode
 from qkd_ldpc_tpu.decoder.bp import DecodeOptions
 from qkd_ldpc_tpu.decoder.reconcile import reconcile
 from qkd_ldpc_tpu.parallel.mesh import TRIAL_AXIS, trial_sharding, replicated
-from qkd_ldpc_tpu.sim.stats import PointPartials, partials_from_device, reduce_trials
+from qkd_ldpc_tpu.sim.stats import (
+    PointPartials,
+    partials_from_stacked,
+    reduce_trials,
+    stack_partials,
+)
 
 
 @partial(jax.jit, static_argnames=("n_bits", "opts"), donate_argnums=())
@@ -44,9 +49,12 @@ def _sharded_point_step(
     alice, bob = make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
     actual_qber = num_errors.astype(jnp.float32) / n_bits
     res = reconcile(code, alice, bob, actual_qber, opts)
-    return reduce_trials(
-        res.syndromes_match, res.keys_match, res.iterations,
-        opts.max_iterations, valid,
+    # Stacked [7] int32: one fetch per batch (see sim.stats.stack_partials).
+    return stack_partials(
+        reduce_trials(
+            res.syndromes_match, res.keys_match, res.iterations,
+            opts.max_iterations, valid,
+        )
     )
 
 
@@ -87,11 +95,13 @@ def run_point_sharded(
             jnp.arange(batch, dtype=jnp.uint32) + jnp.uint32(offset), shard
         )
         valid = jax.device_put(jnp.arange(batch, dtype=jnp.int32) < n_valid, shard)
-        reduced = _sharded_point_step(
+        stacked = _sharded_point_step(
             code_dev, point_key, trial_ids, valid,
             jnp.asarray(n_err, jnp.int32), code.n_vars, opts,
         )
-        total = total.merge(partials_from_device(reduced, opts.max_iterations))
+        total = total.merge(
+            partials_from_stacked(jax.device_get(stacked), opts.max_iterations)
+        )
         offset += n_valid
         if tick is not None:
             tick(n_valid)

@@ -42,8 +42,9 @@ from qkd_ldpc_tpu.sim.stats import (
     PointPartials,
     SimResult,
     finalize_point,
-    partials_from_device,
+    partials_from_stacked,
     reduce_trials,
+    stack_partials,
 )
 
 
@@ -64,6 +65,7 @@ def decode_options_from_config(cfg: Config) -> DecodeOptions:
         message_threshold=cfg.sum_product_msg_llr_threshold,
         algorithm=cfg.decoder,
         min_sum_alpha=cfg.min_sum_alpha,
+        message_dtype=cfg.dtype,
     )
 
 
@@ -109,8 +111,19 @@ def point_batch_partials(
     )
 
 
+def _point_batch_stacked(code, point_key, num_errors, trial_offset,
+                         valid_count, batch, opts):
+    return stack_partials(
+        point_batch_partials(
+            code, point_key, num_errors, trial_offset, valid_count, batch, opts
+        )
+    )
+
+
+# Stacked [7] int32 output: ONE device->host transfer per batch (a dict of
+# seven scalars costs seven ~25 ms round-trips on a tunneled remote device).
 _point_batch_step = jax.jit(
-    point_batch_partials, static_argnames=("batch", "opts")
+    _point_batch_stacked, static_argnames=("batch", "opts")
 )
 
 
@@ -147,7 +160,7 @@ def run_point(
     offset = 0
     while offset < trials:
         valid = min(batch, trials - offset)
-        reduced = _point_batch_step(
+        stacked = _point_batch_step(
             code,
             point_key,
             jnp.asarray(n_err, jnp.int32),
@@ -156,7 +169,9 @@ def run_point(
             batch,
             opts,
         )
-        total = total.merge(partials_from_device(reduced, opts.max_iterations))
+        total = total.merge(
+            partials_from_stacked(jax.device_get(stacked), opts.max_iterations)
+        )
         offset += valid
         if tick is not None:
             tick(valid)
@@ -230,6 +245,7 @@ def batch_simulation(
     sim_number = 0
     for si in sim_inputs:
         batch = auto_batch_size(cfg, si.code)
+        code_dev = si.code.to_device()  # upload adjacency once per matrix
         for qber in si.qber:
             if sim_number in done:
                 rec = done[sim_number]
@@ -242,7 +258,7 @@ def batch_simulation(
                 jax.random.PRNGKey(cfg.simulation_seed), sim_number
             )
             partials, actual_qber = run_point(
-                si.code, point_key, qber, cfg.trials_number, batch, opts,
+                code_dev, point_key, qber, cfg.trials_number, batch, opts,
                 tick=bar.tick,
             )
             result = finalize_point(

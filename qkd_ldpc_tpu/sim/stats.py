@@ -75,8 +75,14 @@ def reduce_trials(
     if valid is None:
         valid = jnp.ones(syndromes_match.shape, bool)
     sp = syndromes_match & valid
-    it = iterations.astype(jnp.float32)
-    it_sp = jnp.where(sp, it, 0.0)
+    it = iterations.astype(jnp.int32)
+    it_sp = jnp.where(sp, it, 0)
+    # All-int32 sums: exact, and the whole reduction ships home as ONE
+    # stacked array (see stack_partials) — a single device->host transfer
+    # per batch instead of seven (each round-trip costs ~25 ms on a
+    # tunneled remote device).  Σ iters² per merged chunk must stay under
+    # 2^31: trials_per_chunk * max_iterations^2 < 2^31 holds for every
+    # supported batch (auto_batch caps at 1024) and bench chunk.
     return dict(
         n_trials=jnp.sum(valid.astype(jnp.int32)),
         n_sp=jnp.sum(sp.astype(jnp.int32)),
@@ -88,16 +94,43 @@ def reduce_trials(
     )
 
 
+# Canonical field order of the single-transfer stacked form.
+STAT_KEYS = ("n_trials", "n_sp", "n_ldpc", "sum_it", "sum_it2", "min_it", "max_it")
+
+
+def stack_partials(reduced: dict) -> jax.Array:
+    """Device-side [7] int32 stack of a reduction, for one-fetch readback."""
+    return jnp.stack([reduced[k].astype(jnp.int32) for k in STAT_KEYS])
+
+
+def partials_from_stacked(stacked, max_iterations: int) -> PointPartials:
+    """Host conversion of a fetched ``stack_partials`` array."""
+    v = [int(x) for x in stacked]
+    d = dict(zip(STAT_KEYS, v))
+    return PointPartials(
+        n_trials=d["n_trials"],
+        n_sp=d["n_sp"],
+        n_ldpc=d["n_ldpc"],
+        sum_it=float(d["sum_it"]),
+        sum_it2=float(d["sum_it2"]),
+        min_it=d["min_it"],
+        max_it=d["max_it"],
+    )
+
+
 def partials_from_device(reduced: dict, max_iterations: int) -> PointPartials:
     """Convert a device reduction (possibly already psum-merged) to host."""
+    # Fetch the dict as one pytree: device_get issues async copies for all
+    # leaves before blocking, so the round-trips overlap.
+    host = jax.device_get(reduced)
     return PointPartials(
-        n_trials=int(reduced["n_trials"]),
-        n_sp=int(reduced["n_sp"]),
-        n_ldpc=int(reduced["n_ldpc"]),
-        sum_it=float(reduced["sum_it"]),
-        sum_it2=float(reduced["sum_it2"]),
-        min_it=int(reduced["min_it"]),
-        max_it=int(reduced["max_it"]),
+        n_trials=int(host["n_trials"]),
+        n_sp=int(host["n_sp"]),
+        n_ldpc=int(host["n_ldpc"]),
+        sum_it=float(host["sum_it"]),
+        sum_it2=float(host["sum_it2"]),
+        min_it=int(host["min_it"]),
+        max_it=int(host["max_it"]),
     )
 
 

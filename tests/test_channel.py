@@ -1,6 +1,7 @@
 """Channel-model tests: exact error weight, determinism contract."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from qkd_ldpc_tpu.channel import (
@@ -69,3 +70,24 @@ def test_trial_batch_error_weight():
 def test_point_keys_distinct():
     k0, k1 = derive_point_key(7, 0), derive_point_key(7, 1)
     assert not np.array_equal(np.asarray(k0), np.asarray(k1))
+
+
+def test_exact_count_with_forced_ties():
+    """Tie completion in the threshold sampler still yields exactly k flips.
+
+    Constant scores force every position to tie at the threshold — the
+    worst case for the selection-by-threshold path."""
+    from qkd_ldpc_tpu.channel.keys import _exact_weight_mask
+
+    scores = jnp.full((4, 64), 7, dtype=jnp.uint32)  # all tied
+    for k in (1, 3, 63, 64):
+        mask = _exact_weight_mask(scores, jnp.asarray(k, jnp.int32))
+        assert np.all(np.asarray(mask.sum(axis=-1)) == k)
+
+
+def test_exact_count_full_and_zero_weight():
+    from qkd_ldpc_tpu.channel.keys import _exact_weight_mask
+
+    scores = jax.random.bits(jax.random.PRNGKey(0), (8, 128), jnp.uint32)
+    assert np.all(np.asarray(_exact_weight_mask(scores, 128).sum(axis=-1)) == 128)
+    assert np.all(np.asarray(_exact_weight_mask(scores, 0).sum(axis=-1)) == 0)

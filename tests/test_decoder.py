@@ -1,6 +1,7 @@
 """Decoder tests: known-answer (Johnson ex. 2.5), f64-oracle parity,
 batching consistency, min-sum sanity."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -170,3 +171,34 @@ def test_irregular_and_regular_share_one_path(hamming_code, n10_code):
         bob = alice.at[pos].set(1)
         res = reconcile(code, alice, bob, 1.0 / code.n_vars, OPTS)
         assert bool(res.keys_match)
+
+
+def test_bf16_messages_match_f32_decisions(medium_code):
+    """bf16 message storage: same convergence verdicts and hard decisions
+    as f32 on a comfortably-decodable operating point (full-sweep FER
+    parity on the production code is in PARITY.md)."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    ne = num_errors_for(medium_code.n_vars, 0.03)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(11), medium_code.n_vars, 16,
+        jnp.asarray(ne, jnp.int32),
+    )
+    r32 = reconcile(medium_code, alice, bob, ne / medium_code.n_vars,
+                    DecodeOptions(message_dtype="float32"))
+    r16 = reconcile(medium_code, alice, bob, ne / medium_code.n_vars,
+                    DecodeOptions(message_dtype="bfloat16"))
+    np.testing.assert_array_equal(
+        np.asarray(r16.keys_match), np.asarray(r32.keys_match)
+    )
+    assert np.asarray(r32.keys_match).all()
+    # Iteration counts may differ by rounding at most marginally.
+    assert np.abs(
+        np.asarray(r16.iterations) - np.asarray(r32.iterations)
+    ).max() <= 1
+
+
+def test_invalid_message_dtype_rejected():
+    with pytest.raises(ValueError):
+        DecodeOptions(message_dtype="float16")
