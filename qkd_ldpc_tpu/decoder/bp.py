@@ -106,14 +106,21 @@ def _check_update_sum_product(
     log_row = jnp.sum(logmag, axis=1, keepdims=True)  # [M, 1, B]
     neg_row = jnp.sum(neg.astype(jnp.int32), axis=1, keepdims=True)
 
-    # Leave-one-out: subtract own log-magnitude / own sign bit.
-    loo_log = log_row - logmag  # <= 0 by construction -> |q| <= 1
+    # Leave-one-out sign: total parity minus own sign bit.
     loo_neg = (neg_row - neg.astype(jnp.int32)) & 1
     sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn_sign[:, None, :]
 
-    q = jnp.exp(loo_log)
-    # 2*atanh(q) = log((1+q)/(1-q)); q == 1 -> +inf, clipped by threshold.
-    lr = sign * (jnp.log1p(q) - jnp.log1p(-q))
+    # Leave-one-out magnitude q = exp(log_row - logmag), computed as
+    # exp(log_row) / mag: ONE exp per check row instead of one per edge
+    # (transcendentals dominate the VPU cost of this kernel).  Nearest
+    # rounding keeps log_row <= every logmag (a float sum of non-positives
+    # never rounds above any single term), so mathematically q <= 1; the
+    # division can still land at 1 + ulp, hence the explicit cap — q == 1
+    # yields +inf, which the message threshold clips exactly as the
+    # reference clips its atanh overflow (qkd_ldpc_algorithm.cpp:74-77).
+    q = jnp.minimum(jnp.exp(log_row) / mag, 1.0)
+    # 2*atanh(q) = log1p(2q / (1-q)): one log1p instead of two.
+    lr = sign * jnp.log1p(2.0 * q / (1.0 - q))
     return lr
 
 

@@ -131,12 +131,14 @@ def bp_decode_node_sharded(
             global_rows = jax.lax.psum(partial_rows, NODE_AXIS)
             row_log, row_neg = global_rows[0], global_rows[1]
 
-            loo_log = gather_rows(row_log) - logmag  # <= 0
             loo_neg = (gather_rows(row_neg) - neg).astype(jnp.int32) & 1
             sign = jnp.where(loo_neg == 1, -1.0, 1.0) * gather_rows(syn_sign)
 
-            q = jnp.exp(loo_log)
-            return sign * (jnp.log1p(q) - jnp.log1p(-q))
+            # Same per-row-exp leave-one-out as the single-chip kernel
+            # (decoder.bp._check_update_sum_product): q = exp(row)/own-mag,
+            # capped at 1; 2 atanh(q) = log1p(2q/(1-q)).
+            q = jnp.minimum(gather_rows(jnp.exp(row_log)) / mag, 1.0)
+            return sign * jnp.log1p(2.0 * q / (1.0 - q))
 
         def body(carry):
             Lq, z_out, iters, done, it = carry
