@@ -86,6 +86,9 @@ def main() -> None:
         # counts validated identical to f32 across the full QBER sweep
         # (PARITY.md); ~2x less HBM traffic in the decode loop.
         message_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        # "auto" resolves to the Pallas check-update kernel on TPU
+        # (benchmarks/pallas_vs_xla.md: +24% end-to-end vs the XLA chain).
+        backend=os.environ.get("BENCH_BACKEND", "auto"),
     )
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     reps = int(os.environ.get("BENCH_REPS", "96"))

@@ -81,6 +81,7 @@ class Config:
     min_sum_alpha: float = 0.8  # normalization factor for min-sum
     batch_size: int = 0  # frames decoded per device step; 0 = auto
     dtype: str = "float32"  # message dtype on device
+    backend: str = "auto"  # check-update kernel: "auto" | "xla" | "pallas"
     checkpoint_dir: str = ""  # "" disables sweep checkpointing
     results_dir: str = "results"
     matrix_dir: str = ""  # "" = use built-in discovery relative to cwd
@@ -110,6 +111,8 @@ class Config:
             raise ValueError("batch_size must be >= 0 (0 = auto)")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"Unsupported message dtype: {self.dtype!r}")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"Unsupported decoder backend: {self.backend!r}")
         # Sorted ascending by code rate, as in reference config.cpp:102-106.
         object.__setattr__(
             self,
@@ -163,6 +166,7 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
         min_sum_alpha=float(raw.get("min_sum_alpha", 0.8)),
         batch_size=int(raw.get("batch_size", 0)),
         dtype=str(raw.get("dtype", "float32")),
+        backend=str(raw.get("backend", "auto")),
         checkpoint_dir=str(raw.get("checkpoint_dir", "")),
         results_dir=str(raw.get("results_dir", "results")),
         matrix_dir=str(raw.get("matrix_dir", "")),

@@ -66,6 +66,7 @@ def decode_options_from_config(cfg: Config) -> DecodeOptions:
         algorithm=cfg.decoder,
         min_sum_alpha=cfg.min_sum_alpha,
         message_dtype=cfg.dtype,
+        backend=cfg.backend,
     )
 
 

@@ -202,3 +202,38 @@ def test_bf16_messages_match_f32_decisions(medium_code):
 def test_invalid_message_dtype_rejected():
     with pytest.raises(ValueError):
         DecodeOptions(message_dtype="float16")
+
+
+def test_pallas_backend_matches_xla(medium_code):
+    """The Pallas check-update kernel (interpret mode on CPU) must be
+    bit-exact with the XLA lowering: same decisions, iterations, verdicts.
+    On real TPU hardware the same assertion is part of the bench harness
+    (benchmarks/pallas_vs_xla.md)."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome
+
+    ne = num_errors_for(medium_code.n_vars, 0.03)
+    _, bob = make_trial_batch(
+        jax.random.PRNGKey(3), medium_code.n_vars, 4, jnp.asarray(ne, jnp.int32)
+    )
+    alice, _ = make_trial_batch(
+        jax.random.PRNGKey(3), medium_code.n_vars, 4, jnp.asarray(ne, jnp.int32)
+    )
+    llr = apriori_llr(bob, ne / medium_code.n_vars)
+    syn = syndrome(medium_code, alice)
+    r_x = decode(medium_code, llr, syn, DecodeOptions(backend="xla", max_iterations=30))
+    r_p = decode(medium_code, llr, syn, DecodeOptions(backend="pallas", max_iterations=30))
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_x.bits))
+    np.testing.assert_array_equal(
+        np.asarray(r_p.iterations), np.asarray(r_x.iterations)
+    )
+
+
+def test_auto_backend_resolution():
+    assert DecodeOptions(backend="auto").resolve_backend() in ("xla", "pallas")
+    assert DecodeOptions(backend="auto", algorithm="min-sum").resolve_backend() == "xla"
+    with pytest.raises(ValueError):
+        DecodeOptions(backend="cuda")
+    with pytest.raises(ValueError):
+        DecodeOptions(backend="pallas", algorithm="min-sum")
