@@ -7,6 +7,7 @@ from qkd_ldpc_tpu.sim.csv_writer import (
     write_results,
 )
 from qkd_ldpc_tpu.sim.interactive import interactive_simulation, select_matrix_file
+from qkd_ldpc_tpu.sim.tracing import ConsoleTracer, TraceFlags, traced_reconcile
 from qkd_ldpc_tpu.sim.planner import rate_based_qber_range
 from qkd_ldpc_tpu.sim.runner import (
     SimInput,
@@ -31,6 +32,9 @@ __all__ = [
     "results_file_path",
     "write_results",
     "interactive_simulation",
+    "ConsoleTracer",
+    "TraceFlags",
+    "traced_reconcile",
     "select_matrix_file",
     "rate_based_qber_range",
     "SimInput",

@@ -22,6 +22,7 @@ from qkd_ldpc_tpu.config import Config
 from qkd_ldpc_tpu.decoder.reconcile import reconcile
 from qkd_ldpc_tpu.sim.planner import rate_based_qber_range
 from qkd_ldpc_tpu.sim.runner import decode_options_from_config
+from qkd_ldpc_tpu.sim.tracing import TraceFlags, traced_reconcile
 
 
 def select_matrix_file(paths: Sequence[Path], input_fn=None, print_fn=print) -> Path:
@@ -68,6 +69,31 @@ def interactive_simulation(
         alice, bob = make_trial_batch(point_key, code.n_vars, 1, n_err)
         n_diff = int((np.asarray(alice) ^ np.asarray(bob)).sum())
         print_fn(f"Number of errors in a key: {n_diff}")
+
+        flags = TraceFlags.from_config(cfg)
+        if flags.any:
+            # Traced decode runs on the host f64 oracle — the compiled TPU
+            # path never contains trace prints (SURVEY.md §5).
+            ores, okeys = traced_reconcile(
+                code,
+                np.asarray(alice[0]),
+                np.asarray(bob[0]),
+                actual_qber,
+                max_iterations=opts.max_iterations,
+                clip_messages=opts.clip_messages,
+                message_threshold=opts.message_threshold,
+                flags=flags,
+                print_fn=print_fn,
+            )
+            ok = bool(ores.syndromes_match) and okeys
+            print_fn(f"Iterations performed: {ores.iterations}")
+            print_fn(
+                "Error reconciliation SUCCESSFUL"
+                if ok
+                else "Error reconciliation FAILED"
+            )
+            print_fn("")
+            continue
 
         res = reconcile(code, alice, bob, actual_qber, opts)
         ok = bool(res.syndromes_match[0]) and bool(res.keys_match[0])
