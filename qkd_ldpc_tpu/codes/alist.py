@@ -100,11 +100,26 @@ def parse_alist(text: str, path: str = "<string>", name: str = "") -> LDPCCode:
     return code
 
 
-def read_alist(path: str | Path) -> LDPCCode:
-    """Read an alist file into an :class:`LDPCCode`."""
+def read_alist(path: str | Path, native: bool | None = None) -> LDPCCode:
+    """Read an alist file into an :class:`LDPCCode`.
+
+    Uses the native C++ loader (``native/qkd_ldpc_native.cpp``, built
+    lazily) when available — one O(E) pass over the file, the framework's
+    counterpart of the reference's C++ ingest — and falls back to the pure
+    Python/NumPy parser otherwise.  Both produce identical tensors
+    (tests/test_native.py); ``native=False`` forces the Python path.
+    """
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"Failed to open file: {path}")
+    if native or native is None:
+        from qkd_ldpc_tpu.codes._native import read_alist_native
+
+        code = read_alist_native(path, name=path.name)
+        if code is not None:
+            return code
+        if native:
+            raise RuntimeError("Native alist loader unavailable")
     return parse_alist(path.read_text(), str(path), name=path.name)
 
 
