@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
             "--interactive", action="store_true", help="interactive mode"
         )
         p.add_argument("--no-progress", action="store_true")
+        p.add_argument(
+            "--profile",
+            metavar="DIR",
+            default="",
+            help="capture a jax.profiler device trace of the sweep to DIR "
+            "(view with TensorBoard / xprof)",
+        )
 
     gen = sub.add_parser("generate", help="generate a random LDPC code")
     gen.add_argument("--n", type=int, required=True)
@@ -76,11 +83,21 @@ def main(argv: list[str] | None = None) -> int:
             interactive_simulation(cfg, matrix_dir)
         else:
             print("BATCH MODE")
+            import contextlib
+
             from qkd_ldpc_tpu.sim import simulate_directory, write_results
 
-            results = simulate_directory(
-                cfg, matrix_dir, progress=not args.no_progress
-            )
+            profile_ctx = contextlib.nullcontext()
+            if args.profile:
+                # Device-level tracing is the TPU-native counterpart of the
+                # reference's (absent) profiler hooks — SURVEY.md §5.
+                import jax
+
+                profile_ctx = jax.profiler.trace(args.profile)
+            with profile_ctx:
+                results = simulate_directory(
+                    cfg, matrix_dir, progress=not args.no_progress
+                )
             path = write_results(
                 results,
                 results_dir,

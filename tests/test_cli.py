@@ -74,3 +74,30 @@ def test_generate(tmp_path, capsys):
     code = read_alist(out_path)
     assert code.n_vars == 256 and code.n_checks == 128
     np.testing.assert_array_equal(code.var_deg, np.full(256, 3))
+
+
+def test_cli_profile_flag(tmp_path):
+    """--profile captures a jax.profiler trace directory during the sweep."""
+    import json as _json
+
+    from qkd_ldpc_tpu.codes import make_code, write_alist
+
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    write_alist(make_code(n=64, m=33, dv=3, seed=1), mdir / "c.alist")
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(_json.dumps({
+        "trials_number": 4, "simulation_seed": 1,
+        "sum_product_max_iterations": 30,
+        "code_rate_QBER_parameters": [
+            {"code_rate": 0.6, "QBER_begin": 0.03, "QBER_end": 0.06,
+             "QBER_step": 0.03}],
+    }))
+    prof = tmp_path / "prof"
+    rc = main([
+        "--config", str(cfgp), "--matrix-dir", str(mdir),
+        "--results-dir", str(tmp_path / "res"), "--no-progress",
+        "--profile", str(prof),
+    ])
+    assert rc == 0
+    assert any(prof.rglob("*.xplane.pb")) or any(prof.rglob("*.trace*"))
