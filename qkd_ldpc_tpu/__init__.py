@@ -4,12 +4,14 @@ A from-scratch JAX/XLA/Pallas re-design of the capability surface of the
 C++ reference simulator ColdCloudd/QKD_LDPC (see SURVEY.md):
 
 - parity-check-matrix ingest (alist + dense formats)  -> `qkd_ldpc_tpu.codes`
+  (native C++ loader bindings in `qkd_ldpc_tpu.codes._native`, source in
+  `native/qkd_ldpc_native.cpp`)
 - key generation + exact-weight binary channel        -> `qkd_ldpc_tpu.channel`
 - syndrome-target sum-product / min-sum BP decoding   -> `qkd_ldpc_tpu.decoder`
-- Pallas TPU kernels for the BP hot loop              -> `qkd_ldpc_tpu.ops`
-- mesh / sharded Monte-Carlo sweeps                   -> `qkd_ldpc_tpu.parallel`
-- QBER sweep planning, stats, CSV, checkpointing      -> `qkd_ldpc_tpu.sim`
-- native C++ ingest + reference-parity PRNG channel   -> `qkd_ldpc_tpu.native`
+  (Pallas TPU check-update kernel in `qkd_ldpc_tpu.decoder.pallas_kernels`)
+- mesh / sharded sweeps / node-sharded decoding       -> `qkd_ldpc_tpu.parallel`
+- QBER sweep planning, stats, CSV, checkpointing,
+  interactive mode, console tracing                   -> `qkd_ldpc_tpu.sim`
 
 Unlike the reference (one process, a CPU thread pool over trials,
 scalar C++ loops over graph edges), everything here is expressed as pure

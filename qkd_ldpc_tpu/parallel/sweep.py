@@ -21,6 +21,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qkd_ldpc_tpu.channel.keys import make_trials_from_ids, num_errors_for
@@ -91,10 +92,18 @@ def run_point_sharded(
     offset = 0
     while offset < trials:
         n_valid = min(batch, trials - offset)
-        trial_ids = jax.device_put(
-            jnp.arange(batch, dtype=jnp.uint32) + jnp.uint32(offset), shard
+        # make_array_from_callback builds each device's shard locally, so
+        # this path also works multi-host (jax.distributed), where a plain
+        # device_put of a host-local array onto a global sharding cannot.
+        off = offset
+        trial_ids = jax.make_array_from_callback(
+            (batch,), shard,
+            lambda idx: np.arange(batch, dtype=np.uint32)[idx] + np.uint32(off),
         )
-        valid = jax.device_put(jnp.arange(batch, dtype=jnp.int32) < n_valid, shard)
+        valid = jax.make_array_from_callback(
+            (batch,), shard,
+            lambda idx: (np.arange(batch, dtype=np.int32) < n_valid)[idx],
+        )
         stacked = _sharded_point_step(
             code_dev, point_key, trial_ids, valid,
             jnp.asarray(n_err, jnp.int32), code.n_vars, opts,
