@@ -116,13 +116,14 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
     times = []
     accs = []
-    for k in range(3):
+    for k in range(rounds):
         t0 = time.perf_counter()
         accs.append(chunk((k + 1) * batch * reps))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times)  # min-of-N: the shared chip's load varies +-20%
 
     trials = batch * reps
     frames_per_s = trials / dt
@@ -131,7 +132,7 @@ def main() -> None:
     mean_it = sum(float(a["sum_it"]) for a in accs) / max(n_sp, 1)
     print(
         f"{trials} trials/chunk, best {dt:.3f}s = {frames_per_s:.1f} frames/s, "
-        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, SP success {n_sp}/{3 * trials}, "
+        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, SP success {n_sp}/{rounds * trials}, "
         f"mean iters {mean_it:.2f} (times: {[f'{t:.3f}' for t in times]})",
         file=sys.stderr,
     )
