@@ -46,26 +46,45 @@ def generate_random_bits(key: jax.Array, n_bits: int, batch: int) -> jax.Array:
     return jax.random.bernoulli(key, 0.5, (batch, n_bits)).astype(jnp.uint8)
 
 
+def _kth_smallest(scores: jax.Array, k) -> jax.Array:
+    """k-th smallest value along the last axis of uint32 ``scores``,
+    found by a 32-pass bitwise prefix search (greedy largest prefix P
+    with count(s < P) < k, refined one bit per pass).
+
+    Each pass is one vectorized compare + row-sum over [..., N] — ~2x
+    faster on TPU than a full ``jnp.sort`` of the scores, and exact.
+    """
+    k = jnp.asarray(k, jnp.int32)
+
+    def step(j, prefix):
+        test = prefix | (jnp.uint32(1) << jnp.uint32(31 - j))
+        cnt = jnp.sum((scores < test[..., None]).astype(jnp.int32), axis=-1)
+        return jnp.where(cnt >= k, prefix, test)
+
+    prefix = jax.lax.fori_loop(
+        0, 32, step, jnp.zeros(scores.shape[:-1], jnp.uint32)
+    )
+    return prefix[..., None]
+
+
 def _exact_weight_mask(scores: jax.Array, num_errors) -> jax.Array:
     """Boolean mask with exactly ``num_errors`` True per row, uniformly
     placed, from i.i.d. uint32 ``scores`` [..., N].
 
-    Selection-by-threshold instead of rank-by-double-argsort: sort the
-    *values* once, take the k-th smallest as a threshold, flip everything
+    Selection-by-threshold instead of rank-by-double-argsort: find the
+    k-th smallest score (bitwise search, no sort), flip everything
     strictly below it, and complete the count from the threshold ties in
-    index order (cumsum).  One value-only sort replaces two key-value
-    sorts — ~2x cheaper on TPU, and the flip count is exact even with
-    score collisions.  Collisions among 32-bit scores are ~N^2/2^33 per
-    frame (≈0.01 for N=10240), and only the tie-completion order is
+    index order (cumsum).  The flip count is exact even with score
+    collisions.  Collisions among 32-bit scores are ~N^2/2^33 per frame
+    (≈0.01 for N=10240), and only the tie-completion order is
     index-biased then, so the flip-set law is uniform to well below
     Monte-Carlo resolution (the reference's Fisher-Yates shuffle,
     ``src/array_and_matrix_operations.cpp:434-460``, is exactly uniform).
     """
     k = jnp.asarray(num_errors, jnp.int32)
-    sorted_scores = jnp.sort(scores, axis=-1)
     # k >= 1 is validated by callers (floor(N*q)==0 is fatal upstream);
-    # clamp anyway so a zero k yields an all-False mask, not UB.
-    thresh = jnp.take(sorted_scores, jnp.maximum(k - 1, 0), axis=-1)[..., None]
+    # a zero k yields an all-False mask via the final where.
+    thresh = _kth_smallest(scores, jnp.maximum(k, 1))
     below = scores < thresh
     at = scores == thresh
     n_below = jnp.sum(below, axis=-1, keepdims=True)
