@@ -18,6 +18,7 @@ import sys
 from pathlib import Path
 
 from qkd_ldpc_tpu.config import load_config
+from qkd_ldpc_tpu.utils import print_error, print_mode, print_status
 
 
 def _default_matrix_dir(cfg, base: Path) -> Path:
@@ -77,12 +78,12 @@ def main(argv: list[str] | None = None) -> int:
             results_dir = base / results_dir
 
         if args.interactive or cfg.interactive_mode:
-            print("INTERACTIVE MODE")
+            print_mode("INTERACTIVE MODE")
             from qkd_ldpc_tpu.sim import interactive_simulation
 
             interactive_simulation(cfg, matrix_dir)
         else:
-            print("BATCH MODE")
+            print_mode("BATCH MODE")
             import contextlib
 
             from qkd_ldpc_tpu.sim import simulate_directory, write_results
@@ -105,9 +106,9 @@ def main(argv: list[str] | None = None) -> int:
                 cfg.sum_product_max_iterations,
                 cfg.simulation_seed,
             )
-            print(f"The results have been written to: {path}")
+            print_status(f"The results have been written to: {path}")
     except Exception as e:  # match reference main()'s catch-all exit(1)
-        print(f"ERROR: {e}", file=sys.stderr)
+        print_error(f"ERROR: {e}")
         return 1
     return 0
 
