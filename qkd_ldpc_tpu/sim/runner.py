@@ -128,6 +128,36 @@ _point_batch_step = jax.jit(
 )
 
 
+def _point_chunk(code, point_key, num_errors, start_offset, total_valid,
+                 batch, n_batches, opts):
+    """``n_batches`` sequential trial batches chained on-device via scan:
+    one dispatch + one host fetch per chunk instead of per batch (dispatch
+    costs ~25-30 ms on a tunneled remote device).  The tail batch masks
+    its excess trials through ``valid_count``."""
+
+    def body(carry, i):
+        offset = start_offset + i * batch
+        valid = jnp.clip(total_valid - i * batch, 0, batch)
+        red = point_batch_partials(
+            code, point_key, num_errors, offset, valid, batch, opts
+        )
+        return merge_partials_tree(carry, red), None
+
+    init = point_batch_partials(
+        code, point_key, num_errors, start_offset,
+        jnp.clip(total_valid, 0, batch), batch, opts,
+    )
+    out, _ = jax.lax.scan(
+        body, init, jnp.arange(1, n_batches, dtype=jnp.int32)
+    )
+    return stack_partials(out)
+
+
+_point_chunk_step = jax.jit(
+    _point_chunk, static_argnames=("batch", "n_batches", "opts")
+)
+
+
 def merge_partials_tree(a: dict, b: dict) -> dict:
     """Device-side merge of two partial-sum dicts (min/max-aware)."""
     return dict(
@@ -149,8 +179,14 @@ def run_point(
     batch: int,
     opts: DecodeOptions,
     tick: Callable[[int], None] | None = None,
+    max_batches_per_dispatch: int = 64,
 ) -> tuple[PointPartials, float]:
-    """Run all trials of one (matrix, QBER) point; returns (partials, actual QBER)."""
+    """Run all trials of one (matrix, QBER) point; returns (partials, actual QBER).
+
+    Batches are scan-chained on-device in chunks of up to
+    ``max_batches_per_dispatch``, so a whole sweep point usually costs one
+    dispatch + one scalar fetch regardless of trial count.
+    """
     n_err = num_errors_for(code.n_vars, qber)
     if n_err == 0:
         # Reference treats floor(N*q)==0 as fatal (simulation.cpp:170-175).
@@ -160,14 +196,17 @@ def run_point(
     total = PointPartials()
     offset = 0
     while offset < trials:
-        valid = min(batch, trials - offset)
-        stacked = _point_batch_step(
+        remaining = trials - offset
+        n_batches = min(-(-remaining // batch), max_batches_per_dispatch)
+        valid = min(n_batches * batch, remaining)
+        stacked = _point_chunk_step(
             code,
             point_key,
             jnp.asarray(n_err, jnp.int32),
             jnp.asarray(offset, jnp.int32),
             jnp.asarray(valid, jnp.int32),
             batch,
+            n_batches,
             opts,
         )
         total = total.merge(
