@@ -90,8 +90,8 @@ def main() -> None:
         # (benchmarks/pallas_vs_xla.md: +24% end-to-end vs the XLA chain).
         backend=os.environ.get("BENCH_BACKEND", "auto"),
     )
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    reps = int(os.environ.get("BENCH_REPS", "96"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    reps = int(os.environ.get("BENCH_REPS", "24"))
     n_err = num_errors_for(code.n_vars, QBER)
     point_key = jax.random.fold_in(jax.random.PRNGKey(777), 0)
 

@@ -223,13 +223,13 @@ def auto_batch_size(cfg: Config, code: LDPCCode) -> int:
     enough to keep message state well under HBM limits."""
     if cfg.batch_size:
         return min(cfg.batch_size, cfg.trials_number)
-    # Measured on TPU v5e (N=10240 code): throughput is flat for B in
-    # 128..512 and *drops* beyond (larger batches also pay more for the
-    # all-frames early-exit barrier, since the batch runs to its max
-    # iteration count).  256 balances that against per-batch dispatch.
+    # Measured on TPU v5e (N=10240 code, bf16 + Pallas + bitsearch
+    # channel): batch 512 is the throughput optimum; larger batches regress
+    # (and pay more for the all-frames early-exit barrier, since a batch
+    # runs to its max iteration count).
     bytes_per_trial = code.n_checks * code.dc_max * 4 * 6
     cap = max(1, (3 << 29) // bytes_per_trial)
-    return int(min(cfg.trials_number, 256, cap))
+    return int(min(cfg.trials_number, 512, cap))
 
 
 # --------------------------------------------------------------------------
