@@ -237,3 +237,60 @@ def test_auto_backend_resolution():
         DecodeOptions(backend="cuda")
     with pytest.raises(ValueError):
         DecodeOptions(backend="pallas", algorithm="min-sum")
+
+
+def test_tight_message_threshold_matches_oracle(medium_code):
+    """A small clip threshold changes decode trajectories; the TPU decoder
+    must track the f64 oracle's clip placement exactly (reference clips
+    check->bit after the check update and bit->check after the bit update,
+    qkd_ldpc_algorithm.cpp:74-77,141-144)."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr, reconcile
+    from qkd_ldpc_tpu.decoder.oracle import oracle_reconcile
+
+    ne = num_errors_for(medium_code.n_vars, 0.04)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(21), medium_code.n_vars, 8, jnp.asarray(ne, jnp.int32)
+    )
+    opts = DecodeOptions(max_iterations=50, message_threshold=2.5)
+    res = reconcile(medium_code, alice, bob, ne / medium_code.n_vars, opts)
+    for t in range(8):
+        ores, okeys = oracle_reconcile(
+            medium_code, np.asarray(alice[t]), np.asarray(bob[t]),
+            ne / medium_code.n_vars, max_iterations=50, message_threshold=2.5,
+        )
+        assert bool(res.syndromes_match[t]) == ores.syndromes_match
+        if ores.syndromes_match:
+            assert int(res.iterations[t]) == ores.iterations
+            np.testing.assert_array_equal(
+                np.asarray(res.bits[t]), ores.bits.astype(np.int8)
+            )
+
+
+def test_zero_error_converges_first_iteration(medium_code):
+    """bob == alice: the decision syndrome matches immediately ->
+    1 iteration, keys match (reference early-exit semantics,
+    qkd_ldpc_algorithm.cpp:105-126)."""
+    from qkd_ldpc_tpu.channel.keys import generate_random_bits
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    alice = generate_random_bits(jax.random.PRNGKey(5), medium_code.n_vars, 4)
+    res = reconcile(medium_code, alice, alice, 0.01, DecodeOptions())
+    assert np.asarray(res.syndromes_match).all()
+    assert np.asarray(res.keys_match).all()
+    np.testing.assert_array_equal(np.asarray(res.iterations), 1)
+
+
+def test_no_clip_option(medium_code):
+    """clip_messages=False disables the threshold entirely (the reference's
+    ENABLE_SUM_PRODUCT_MSG_LLR_THRESHOLD=false path)."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    ne = num_errors_for(medium_code.n_vars, 0.03)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(9), medium_code.n_vars, 8, jnp.asarray(ne, jnp.int32)
+    )
+    res = reconcile(medium_code, alice, bob, ne / medium_code.n_vars,
+                    DecodeOptions(clip_messages=False))
+    assert int(res.keys_match.sum()) == 8
