@@ -15,6 +15,7 @@
 //
 // Build: make -C native  (or qkd_ldpc_tpu.codes._native builds it lazily).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstdio>
@@ -182,15 +183,21 @@ Graph* parse_alist(const char* path) {
     row_w.push_back(static_cast<int32_t>(w));
   }
 
-  // Column adjacency block: validated against the declared weights, then
-  // discarded (the row block is the canonical edge order).
+  // Column adjacency block: validated against the declared weights; its
+  // edge set is kept (as sorted (v, c) keys) for cross-validation against
+  // the row block below, mirroring the Python parser's check.
+  std::vector<int64_t> col_keys;
+  col_keys.reserve(static_cast<size_t>(n) * dvm);
   for (long v = 0; v < n; ++v) {
     if (!rd.next_line(&ln)) return fail("Insufficient data in the file");
     int32_t nz = 0;
     for (long c : ln) {
       if (c < 0 || c > m)
         return fail("Check index out of range in alist column block");
-      if (c != 0) ++nz;
+      if (c != 0) {
+        col_keys.push_back(v * (m + 1) + c);
+        ++nz;
+      }
     }
     if (nz != col_w[v])
       return fail("Number of non-zero elements in a column line does not "
@@ -217,6 +224,25 @@ Graph* parse_alist(const char* path) {
   }
   std::fclose(f);
   g->n_edges = static_cast<int64_t>(g->e_var.size());
+
+  // Cross-validate: the column block's edge set must equal the row
+  // block's (the Python parser rejects the same inconsistency).
+  {
+    std::vector<int64_t> row_keys;
+    row_keys.reserve(g->e_var.size());
+    int64_t e = 0;
+    for (long c = 0; c < m; ++c)
+      for (int32_t j = 0; j < g->chk_deg[c]; ++j, ++e)
+        row_keys.push_back(static_cast<int64_t>(g->e_var[e]) * (m + 1) +
+                           (c + 1));
+    std::sort(col_keys.begin(), col_keys.end());
+    std::sort(row_keys.begin(), row_keys.end());
+    if (col_keys != row_keys) {
+      // (file already closed above — do not use fail() here)
+      set_error(g, "Column adjacency disagrees with row adjacency");
+      return g;
+    }
+  }
 
   if (!finalize_graph(g)) return g;
   if (g->dv_max > dvm || g->dc_max > dcm) {

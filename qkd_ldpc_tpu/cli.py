@@ -72,10 +72,21 @@ def main(argv: list[str] | None = None) -> int:
     try:
         cfg = load_config(args.config)
         base = Path(args.config).resolve().parent
-        matrix_dir = Path(args.matrix_dir or cfg.matrix_dir or _default_matrix_dir(cfg, base))
-        results_dir = Path(args.results_dir or cfg.results_dir)
-        if not results_dir.is_absolute():
-            results_dir = base / results_dir
+        # Paths from the CONFIG FILE resolve against the config's directory
+        # (like the reference's SOURCE_DIR-rooted paths, main.cpp:8); paths
+        # from CLI flags resolve against the CWD as users expect.
+        if args.matrix_dir:
+            matrix_dir = Path(args.matrix_dir)
+        else:
+            matrix_dir = Path(cfg.matrix_dir) if cfg.matrix_dir else _default_matrix_dir(cfg, base)
+            if not matrix_dir.is_absolute():
+                matrix_dir = base / matrix_dir
+        if args.results_dir:
+            results_dir = Path(args.results_dir)
+        else:
+            results_dir = Path(cfg.results_dir)
+            if not results_dir.is_absolute():
+                results_dir = base / results_dir
 
         if args.interactive or cfg.interactive_mode:
             print_mode("INTERACTIVE MODE")

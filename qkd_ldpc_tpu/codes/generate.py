@@ -68,11 +68,15 @@ def make_code(
         if dup_positions.size == 0:
             break
         # Swap each duplicate stub with a uniformly random other stub.
+        # Sequential transpositions: a simultaneous fancy-index swap loses
+        # or duplicates stub values whenever partner indices repeat or
+        # overlap dup_positions (two writes to one slot), silently changing
+        # the column-degree profile.  Duplicates are few, so the loop is
+        # cheap, and every transposition preserves the stub multiset —
+        # column regularity is invariant by construction.
         partners = rng.integers(0, n_edges, size=dup_positions.size)
-        stubs[dup_positions], stubs[partners] = (
-            stubs[partners],
-            stubs[dup_positions].copy(),
-        )
+        for p, q in zip(dup_positions, partners):
+            stubs[p], stubs[q] = stubs[q], stubs[p]
     else:
         raise RuntimeError("Failed to remove duplicate edges; try another seed")
 

@@ -155,8 +155,11 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
         trace_qkd_ldpc=bool(raw.get("trace_qkd_ldpc", False)),
         trace_sum_product=bool(raw.get("trace_sum_product", False)),
         trace_sum_product_llr=bool(raw.get("trace_sum_product_llr", False)),
+        # Default True, matching the Config dataclass default (a mismatch
+        # here would let a config that merely omits the key silently
+        # disable message clipping and change decode trajectories).
         enable_sum_product_msg_llr_threshold=bool(
-            raw.get("enable_sum_product_msg_llr_threshold", False)
+            raw.get("enable_sum_product_msg_llr_threshold", True)
         ),
         sum_product_msg_llr_threshold=float(
             raw.get("sum_product_msg_llr_threshold", 100.0)

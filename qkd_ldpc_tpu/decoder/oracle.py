@@ -54,6 +54,8 @@ def oracle_decode(
     Lq = np.where(cmask, llr[code.chk_adj], 0.0)
     syn_sign = np.where(np.asarray(target_syndrome) == 1, -1.0, 1.0)
 
+    # Defined result for max_iterations == 0: a-priori hard decisions.
+    z = (llr <= 0).astype(np.int64)
     max_abs = 0.0
     it = 0
     while it < max_iterations:

@@ -60,6 +60,10 @@ def initialize_distributed(**kwargs) -> None:
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # Already initialized or single-process context.
-        pass
+    except RuntimeError as e:
+        # Only the benign re-initialization case is swallowed; a genuine
+        # bring-up failure (bad coordinator address, port conflict,
+        # mismatched num_processes) must surface — silently degrading to
+        # independent single-host runs would duplicate the whole sweep.
+        if "already initialized" not in str(e).lower():
+            raise

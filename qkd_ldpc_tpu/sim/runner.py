@@ -193,11 +193,24 @@ def run_point(
         raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
     actual_qber = n_err / code.n_vars
 
+    # Device-side Σ iters² accumulates in exact int32; bound the trials per
+    # dispatch so chunk_trials * max_iterations^2 < 2^31 (host-side merges
+    # across chunks are exact Python ints).
+    mi2 = max(opts.max_iterations, 1) ** 2
+    if batch * mi2 > 2**31 - 1:
+        raise ValueError(
+            f"batch ({batch}) x max_iterations^2 ({opts.max_iterations}^2) "
+            "overflows the int32 iteration statistics; lower batch_size"
+        )
+    safe_batches = max(1, (2**31 - 1) // (batch * mi2))
+
     total = PointPartials()
     offset = 0
     while offset < trials:
         remaining = trials - offset
-        n_batches = min(-(-remaining // batch), max_batches_per_dispatch)
+        n_batches = min(
+            -(-remaining // batch), max_batches_per_dispatch, safe_batches
+        )
         valid = min(n_batches * batch, remaining)
         stacked = _point_chunk_step(
             code,
@@ -236,7 +249,28 @@ def auto_batch_size(cfg: Config, code: LDPCCode) -> int:
 # Checkpointing
 
 
-def _checkpoint_path(cfg: Config) -> Path | None:
+def _experiment_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
+    """Hash of everything that determines a sweep's results, so a resumed
+    checkpoint can never be silently reused for a *different* experiment
+    (different matrices, QBER plan, decoder algorithm, dtype, backend, or
+    thresholds would otherwise collide on the same filename)."""
+    import hashlib
+
+    parts = [
+        f"{cfg.trials_number}|{cfg.simulation_seed}|"
+        f"{cfg.sum_product_max_iterations}|{cfg.decoder}|{cfg.min_sum_alpha}|"
+        f"{cfg.dtype}|{cfg.backend}|{cfg.enable_sum_product_msg_llr_threshold}|"
+        f"{cfg.sum_product_msg_llr_threshold}"
+    ]
+    for si in sim_inputs:
+        parts.append(
+            f"{si.matrix_filename}|{si.code.n_vars}|{si.code.n_checks}|"
+            f"{si.code.n_edges}|" + ",".join(f"{q:.9g}" for q in si.qber)
+        )
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
+
+
+def _checkpoint_path(cfg: Config, sim_inputs: Sequence[SimInput]) -> Path | None:
     if not cfg.checkpoint_dir:
         return None
     d = Path(cfg.checkpoint_dir)
@@ -244,7 +278,8 @@ def _checkpoint_path(cfg: Config) -> Path | None:
     return d / (
         f"sweep(trial_num={cfg.trials_number},"
         f"max_sum_prod_iters={cfg.sum_product_max_iterations},"
-        f"seed={cfg.simulation_seed}).jsonl"
+        f"seed={cfg.simulation_seed},"
+        f"exp={_experiment_fingerprint(sim_inputs, cfg)}).jsonl"
     )
 
 
@@ -278,7 +313,7 @@ def batch_simulation(
     """Full sweep over all matrices x QBER points (reference
     ``QKD_LDPC_batch_simulation``), with checkpoint/resume."""
     opts = decode_options_from_config(cfg)
-    ckpt_path = _checkpoint_path(cfg)
+    ckpt_path = _checkpoint_path(cfg, sim_inputs)
     done = _load_checkpoint(ckpt_path)
 
     total_trials = sum(len(si.qber) for si in sim_inputs) * cfg.trials_number

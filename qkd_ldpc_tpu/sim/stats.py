@@ -80,9 +80,9 @@ def reduce_trials(
     # All-int32 sums: exact, and the whole reduction ships home as ONE
     # stacked array (see stack_partials) — a single device->host transfer
     # per batch instead of seven (each round-trip costs ~25 ms on a
-    # tunneled remote device).  Σ iters² per merged chunk must stay under
-    # 2^31: trials_per_chunk * max_iterations^2 < 2^31 holds for every
-    # supported batch (auto_batch caps at 1024) and bench chunk.
+    # tunneled remote device).  Σ iters² per device-merged chunk must stay
+    # under 2^31: the runner bounds trials-per-dispatch accordingly
+    # (run_point's safe_batches guard); host-side merges are exact ints.
     return dict(
         n_trials=jnp.sum(valid.astype(jnp.int32)),
         n_sp=jnp.sum(sp.astype(jnp.int32)),

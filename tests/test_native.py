@@ -99,3 +99,19 @@ def test_read_alist_native_default(tmp_path):
     p = tmp_path / "c.alist"
     write_alist(code, p)
     _assert_codes_identical(read_alist(p), read_alist(p, native=False))
+
+
+def test_native_column_row_cross_validation(tmp_path):
+    """Column block inconsistent with the row block must be rejected by
+    BOTH loaders (validation parity)."""
+    from qkd_ldpc_tpu.codes.alist import parse_alist
+
+    # 2 vars, 2 checks; row block says check1={v1,v2}, check2={v1,v2};
+    # column block claims v1={1,2}, v2={1,1}<-wrong (right counts, wrong set)
+    bad = "2 2\n2 2\n2 2\n2 2\n1 2\n1 1\n1 2\n1 2\n"
+    with pytest.raises(ValueError, match="isagrees with row adjacency"):
+        parse_alist(bad)
+    p = tmp_path / "bad.alist"
+    p.write_text(bad)
+    with pytest.raises(ValueError, match="isagrees with row adjacency"):
+        read_alist_native(p)
