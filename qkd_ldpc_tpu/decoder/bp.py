@@ -95,14 +95,10 @@ class DecodeOptions:
             raise ValueError(f"Unknown message_dtype {self.message_dtype!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"Unknown backend {self.backend!r}")
-        if self.backend == "pallas" and self.algorithm != "sum-product":
-            raise ValueError("backend='pallas' implements sum-product only")
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        if self.algorithm != "sum-product":
-            return "xla"
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
@@ -223,6 +219,7 @@ def bp_decode_batch_last(
                 Lq, chk_mask.astype(jnp.int32), syn_sign,
                 threshold=opts.message_threshold, clip=opts.clip_messages,
                 interpret=jax.default_backend() != "tpu",
+                algorithm=opts.algorithm, min_sum_alpha=opts.min_sum_alpha,
             )
         else:
             Lq_f = Lq.astype(dtype)

@@ -65,9 +65,47 @@ def _check_update_kernel(lq_ref, mask_ref, syn_ref, lr_ref, *, threshold, clip):
     lr_ref[:] = lr.astype(lr_ref.dtype)
 
 
+def _check_update_min_sum_kernel(
+    lq_ref, mask_ref, syn_ref, lr_ref, *, threshold, clip, alpha
+):
+    """Normalized min-sum check update, one (check-tile, batch-tile) block.
+
+    Leave-one-out min via top-2 minima; the first occurrence of the
+    minimum (lowest slot index) is excluded from its own message exactly
+    like the XLA lowering's cumsum trick, so ties behave identically.
+    """
+    lq = lq_ref[:].astype(jnp.float32)
+    m = mask_ref[:][:, :, None] != 0
+    Mt, dc, Bt = lq.shape
+
+    absL = jnp.where(m, jnp.abs(lq), jnp.inf)
+    neg = jnp.where(m & (lq < 0.0), jnp.int32(1), jnp.int32(0))
+
+    min1 = jnp.min(absL, axis=1, keepdims=True)  # [Mt, 1, Bt]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (Mt, dc, Bt), 1)
+    # First occurrence of the minimum: the smallest slot index achieving it.
+    min_slot = jnp.min(
+        jnp.where(absL == min1, slot, jnp.int32(dc)), axis=1, keepdims=True
+    )
+    first_min1 = slot == min_slot
+    min2 = jnp.min(jnp.where(first_min1, jnp.inf, absL), axis=1, keepdims=True)
+    loo_min = jnp.where(first_min1, min2, min1)
+
+    neg_row = jnp.sum(neg, axis=1, keepdims=True)
+    loo_neg = (neg_row - neg) & 1
+    sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn_ref[:][:, None, :]
+    lr = alpha * sign * loo_min
+    if clip:
+        lr = jnp.clip(lr, -threshold, threshold)
+    lr_ref[:] = lr.astype(lr_ref.dtype)
+
+
 @partial(
     jax.jit,
-    static_argnames=("threshold", "clip", "block_m", "block_b", "interpret"),
+    static_argnames=(
+        "threshold", "clip", "block_m", "block_b", "interpret",
+        "algorithm", "min_sum_alpha",
+    ),
 )
 def check_update_pallas(
     Lq: jax.Array,  # [M, dc, B] messages, check-major, batch last
@@ -78,21 +116,32 @@ def check_update_pallas(
     block_m: int = 256,
     block_b: int = 128,
     interpret: bool = False,
+    algorithm: str = "sum-product",
+    min_sum_alpha: float = 0.8,
 ) -> jax.Array:
     """Fused check-node update as a Pallas TPU kernel.
 
     Grid tiles over checks and batch; each step streams one
     [block_m, dc, block_b] tile HBM->VMEM, computes the full chain on the
     VPU, and streams the result back — exactly one read and one write of
-    the message tensor per iteration.
+    the message tensor per iteration.  ``algorithm`` selects the exact
+    sum-product rule or normalized min-sum.
     """
     M, dc, B = Lq.shape
     bm = min(block_m, M)
     bb = min(block_b, B)
     grid = (pl.cdiv(M, bm), pl.cdiv(B, bb))
 
+    if algorithm == "min-sum":
+        kernel = partial(
+            _check_update_min_sum_kernel,
+            threshold=threshold, clip=clip, alpha=min_sum_alpha,
+        )
+    else:
+        kernel = partial(_check_update_kernel, threshold=threshold, clip=clip)
+
     return pl.pallas_call(
-        partial(_check_update_kernel, threshold=threshold, clip=clip),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((M, dc, B), Lq.dtype),
         grid=grid,
         in_specs=[

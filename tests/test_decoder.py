@@ -232,11 +232,31 @@ def test_pallas_backend_matches_xla(medium_code):
 
 def test_auto_backend_resolution():
     assert DecodeOptions(backend="auto").resolve_backend() in ("xla", "pallas")
-    assert DecodeOptions(backend="auto", algorithm="min-sum").resolve_backend() == "xla"
     with pytest.raises(ValueError):
         DecodeOptions(backend="cuda")
-    with pytest.raises(ValueError):
-        DecodeOptions(backend="pallas", algorithm="min-sum")
+
+
+def test_pallas_min_sum_matches_xla(medium_code):
+    """The Pallas min-sum kernel (interpret mode on CPU): same decisions
+    and iterations as the XLA lowering, including min-tie handling."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome
+
+    ne = num_errors_for(medium_code.n_vars, 0.03)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(13), medium_code.n_vars, 4, jnp.asarray(ne, jnp.int32)
+    )
+    llr = apriori_llr(bob, ne / medium_code.n_vars)
+    syn = syndrome(medium_code, alice)
+    ox = DecodeOptions(backend="xla", algorithm="min-sum", max_iterations=30)
+    op = DecodeOptions(backend="pallas", algorithm="min-sum", max_iterations=30)
+    r_x = decode(medium_code, llr, syn, ox)
+    r_p = decode(medium_code, llr, syn, op)
+    np.testing.assert_array_equal(np.asarray(r_p.bits), np.asarray(r_x.bits))
+    np.testing.assert_array_equal(
+        np.asarray(r_p.iterations), np.asarray(r_x.iterations)
+    )
 
 
 def test_tight_message_threshold_matches_oracle(medium_code):
