@@ -37,6 +37,8 @@ order, same early-exit iteration bookkeeping (reference
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -194,6 +196,14 @@ def bp_decode_node_sharded(
     return z[:N], iters, ok
 
 
+# Module-level jit keyed on (opts, mesh): a per-call `jax.jit(lambda ...)`
+# would recompile on every invocation (the cache is keyed by the function
+# object).  DecodeOptions is frozen/hashable and Mesh hashes by devices+axes.
+@partial(jax.jit, static_argnames=("opts", "mesh"))
+def _decode_node_sharded_jit(code, llr_t, syn_t, opts, mesh):
+    return bp_decode_node_sharded(code, llr_t, syn_t, opts, mesh)
+
+
 def decode_node_sharded(
     code: LDPCCode,
     llr: jax.Array,  # [B, N] or [N]
@@ -208,10 +218,9 @@ def decode_node_sharded(
     if single:
         llr = llr[None, :]
         syndrome = syndrome[None, :]
-    fn = jax.jit(
-        lambda l, s: bp_decode_node_sharded(code, l, s, opts, mesh)
+    z, iters, ok = _decode_node_sharded_jit(
+        code, llr.T, jnp.asarray(syndrome).T, opts, mesh
     )
-    z, iters, ok = fn(llr.T, jnp.asarray(syndrome).T)
     res = DecodeResult(bits=z.T, iterations=iters, syndromes_match=ok)
     if single:
         res = DecodeResult(res.bits[0], res.iterations[0], res.syndromes_match[0])

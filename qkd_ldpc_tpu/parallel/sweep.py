@@ -109,7 +109,7 @@ def run_point_sharded(
             jnp.asarray(n_err, jnp.int32), code.n_vars, opts,
         )
         total = total.merge(
-            partials_from_stacked(jax.device_get(stacked), opts.max_iterations)
+            partials_from_stacked(jax.device_get(stacked))
         )
         offset += n_valid
         if tick is not None:

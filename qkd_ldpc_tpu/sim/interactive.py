@@ -86,18 +86,12 @@ def interactive_simulation(
                 print_fn=print_fn,
             )
             ok = bool(ores.syndromes_match) and okeys
-            print_fn(f"Iterations performed: {ores.iterations}")
-            print_fn(
-                "Error reconciliation SUCCESSFUL"
-                if ok
-                else "Error reconciliation FAILED"
-            )
-            print_fn("")
-            continue
-
-        res = reconcile(code, alice, bob, actual_qber, opts)
-        ok = bool(res.syndromes_match[0]) and bool(res.keys_match[0])
-        print_fn(f"Iterations performed: {int(res.iterations[0])}")
+            iters = ores.iterations
+        else:
+            res = reconcile(code, alice, bob, actual_qber, opts)
+            ok = bool(res.syndromes_match[0]) and bool(res.keys_match[0])
+            iters = int(res.iterations[0])
+        print_fn(f"Iterations performed: {iters}")
         print_fn(
             "Error reconciliation SUCCESSFUL" if ok else "Error reconciliation FAILED"
         )

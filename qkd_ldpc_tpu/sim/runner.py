@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from functools import partial
 from pathlib import Path
 from typing import Callable, Sequence
 
@@ -223,7 +222,7 @@ def run_point(
             opts,
         )
         total = total.merge(
-            partials_from_stacked(jax.device_get(stacked), opts.max_iterations)
+            partials_from_stacked(jax.device_get(stacked))
         )
         offset += valid
         if tick is not None:

@@ -103,7 +103,7 @@ def stack_partials(reduced: dict) -> jax.Array:
     return jnp.stack([reduced[k].astype(jnp.int32) for k in STAT_KEYS])
 
 
-def partials_from_stacked(stacked, max_iterations: int) -> PointPartials:
+def partials_from_stacked(stacked) -> PointPartials:
     """Host conversion of a fetched ``stack_partials`` array."""
     v = [int(x) for x in stacked]
     d = dict(zip(STAT_KEYS, v))
