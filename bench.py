@@ -117,13 +117,22 @@ def main() -> None:
     )
 
     rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
-    times = []
-    accs = []
-    for k in range(rounds):
-        t0 = time.perf_counter()
-        accs.append(chunk((k + 1) * batch * reps))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)  # min-of-N: the shared chip's load varies +-20%
+    # Steady-state throughput: dispatch ALL chunks up front (XLA queues
+    # them back-to-back on device), then fetch in order — the ~30 ms
+    # per-dispatch host latency overlaps device compute, as any production
+    # sweep would pipeline it.  Reported rate is the mean over the queue.
+    t0 = time.perf_counter()
+    pending = [
+        _sweep_chunk(
+            code, point_key, jnp.asarray(n_err, jnp.int32),
+            jnp.asarray((k + 1) * batch * reps, jnp.int32), batch, reps, opts,
+        )
+        for k in range(rounds)
+    ]
+    from qkd_ldpc_tpu.sim.stats import STAT_KEYS
+
+    accs = [dict(zip(STAT_KEYS, np.asarray(p).tolist())) for p in pending]
+    dt = (time.perf_counter() - t0) / rounds
 
     trials = batch * reps
     frames_per_s = trials / dt
@@ -131,9 +140,10 @@ def main() -> None:
     n_sp = sum(int(a["n_sp"]) for a in accs)
     mean_it = sum(float(a["sum_it"]) for a in accs) / max(n_sp, 1)
     print(
-        f"{trials} trials/chunk, best {dt:.3f}s = {frames_per_s:.1f} frames/s, "
-        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, SP success {n_sp}/{rounds * trials}, "
-        f"mean iters {mean_it:.2f} (times: {[f'{t:.3f}' for t in times]})",
+        f"{trials} trials/chunk x {rounds} pipelined chunks, "
+        f"{dt:.3f}s/chunk = {frames_per_s:.1f} frames/s, "
+        f"{info_bits_per_s / 1e6:.2f} Minfo-bits/s, "
+        f"SP success {n_sp}/{rounds * trials}, mean iters {mean_it:.2f}",
         file=sys.stderr,
     )
 
