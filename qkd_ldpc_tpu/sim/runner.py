@@ -170,21 +170,21 @@ def merge_partials_tree(a: dict, b: dict) -> dict:
     )
 
 
-def run_point(
+def _dispatch_point(
     code: LDPCCode,
     point_key: jax.Array,
     qber: float,
     trials: int,
     batch: int,
     opts: DecodeOptions,
-    tick: Callable[[int], None] | None = None,
     max_batches_per_dispatch: int = 64,
-) -> tuple[PointPartials, float]:
-    """Run all trials of one (matrix, QBER) point; returns (partials, actual QBER).
+) -> tuple[list, float]:
+    """Dispatch all trials of one point as queued device calls WITHOUT
+    fetching; returns (list of unfetched stacked stats, actual QBER).
 
-    Batches are scan-chained on-device in chunks of up to
-    ``max_batches_per_dispatch``, so a whole sweep point usually costs one
-    dispatch + one scalar fetch regardless of trial count.
+    Callers fetch with :func:`_collect_point`; keeping dispatch and fetch
+    separate lets the sweep pipeline the ~30 ms per-dispatch host latency
+    of point k+1 under point k's device compute.
     """
     n_err = num_errors_for(code.n_vars, qber)
     if n_err == 0:
@@ -203,7 +203,7 @@ def run_point(
         )
     safe_batches = max(1, (2**31 - 1) // (batch * mi2))
 
-    total = PointPartials()
+    futures = []
     offset = 0
     while offset < trials:
         remaining = trials - offset
@@ -211,22 +211,51 @@ def run_point(
             -(-remaining // batch), max_batches_per_dispatch, safe_batches
         )
         valid = min(n_batches * batch, remaining)
-        stacked = _point_chunk_step(
-            code,
-            point_key,
-            jnp.asarray(n_err, jnp.int32),
-            jnp.asarray(offset, jnp.int32),
-            jnp.asarray(valid, jnp.int32),
-            batch,
-            n_batches,
-            opts,
-        )
-        total = total.merge(
-            partials_from_stacked(jax.device_get(stacked))
+        futures.append(
+            _point_chunk_step(
+                code,
+                point_key,
+                jnp.asarray(n_err, jnp.int32),
+                jnp.asarray(offset, jnp.int32),
+                jnp.asarray(valid, jnp.int32),
+                batch,
+                n_batches,
+                opts,
+            )
         )
         offset += valid
-        if tick is not None:
-            tick(valid)
+    return futures, actual_qber
+
+
+def _collect_point(futures: list) -> PointPartials:
+    total = PointPartials()
+    for stacked in futures:
+        total = total.merge(partials_from_stacked(jax.device_get(stacked)))
+    return total
+
+
+def run_point(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    tick: Callable[[int], None] | None = None,
+    max_batches_per_dispatch: int = 64,
+) -> tuple[PointPartials, float]:
+    """Run all trials of one (matrix, QBER) point; returns (partials, actual QBER).
+
+    Batches are scan-chained on-device in chunks of up to
+    ``max_batches_per_dispatch``, so a whole sweep point usually costs one
+    dispatch + one scalar fetch regardless of trial count.
+    """
+    futures, actual_qber = _dispatch_point(
+        code, point_key, qber, trials, batch, opts, max_batches_per_dispatch
+    )
+    total = _collect_point(futures)
+    if tick is not None:
+        tick(total.n_trials)
     return total, actual_qber
 
 
@@ -310,52 +339,66 @@ def batch_simulation(
     progress: bool = True,
 ) -> list[SimResult]:
     """Full sweep over all matrices x QBER points (reference
-    ``QKD_LDPC_batch_simulation``), with checkpoint/resume."""
+    ``QKD_LDPC_batch_simulation``), with checkpoint/resume.
+
+    Points are PIPELINED: the next point's device work is dispatched
+    before the current point's scalar results are fetched, hiding the
+    ~30 ms per-dispatch host latency under device compute (results are
+    unchanged — every point's trials depend only on its own key).
+    """
     opts = decode_options_from_config(cfg)
     ckpt_path = _checkpoint_path(cfg, sim_inputs)
     done = _load_checkpoint(ckpt_path)
+    master = jax.random.PRNGKey(cfg.simulation_seed)
 
     total_trials = sum(len(si.qber) for si in sim_inputs) * cfg.trials_number
     bar = ProgressBar(total_trials, enabled=progress)
 
-    results: list[SimResult] = []
+    results: dict[int, SimResult] = {}
+    pending: list[tuple] = []  # (sim_number, si, actual_qber, futures)
+
+    def _flush_one() -> None:
+        num, si, actual_qber, futures = pending.pop(0)
+        partials = _collect_point(futures)
+        result = finalize_point(
+            partials,
+            sim_number=num,
+            matrix_filename=si.matrix_filename,
+            is_regular=si.code.is_regular,
+            num_bit_nodes=si.code.n_vars,
+            num_check_nodes=si.code.n_checks,
+            initial_qber=actual_qber,
+            max_iterations=opts.max_iterations,
+        )
+        results[num] = result
+        _append_checkpoint(
+            ckpt_path, dict(sim_number=num, result=dataclasses.asdict(result))
+        )
+        bar.tick(partials.n_trials)
+
     sim_number = 0
     for si in sim_inputs:
         batch = auto_batch_size(cfg, si.code)
         code_dev = si.code.to_device()  # upload adjacency once per matrix
         for qber in si.qber:
             if sim_number in done:
-                rec = done[sim_number]
-                results.append(SimResult(**rec["result"]))
+                results[sim_number] = SimResult(**done[sim_number]["result"])
                 bar.tick(cfg.trials_number)
                 sim_number += 1
                 continue
 
-            point_key = jax.random.fold_in(
-                jax.random.PRNGKey(cfg.simulation_seed), sim_number
+            point_key = jax.random.fold_in(master, sim_number)
+            futures, actual_qber = _dispatch_point(
+                code_dev, point_key, qber, cfg.trials_number, batch, opts
             )
-            partials, actual_qber = run_point(
-                code_dev, point_key, qber, cfg.trials_number, batch, opts,
-                tick=bar.tick,
-            )
-            result = finalize_point(
-                partials,
-                sim_number=sim_number,
-                matrix_filename=si.matrix_filename,
-                is_regular=si.code.is_regular,
-                num_bit_nodes=si.code.n_vars,
-                num_check_nodes=si.code.n_checks,
-                initial_qber=actual_qber,
-                max_iterations=opts.max_iterations,
-            )
-            results.append(result)
-            _append_checkpoint(
-                ckpt_path,
-                dict(sim_number=sim_number, result=dataclasses.asdict(result)),
-            )
+            pending.append((sim_number, si, actual_qber, futures))
+            if len(pending) > 1:  # keep one point in flight
+                _flush_one()
             sim_number += 1
+    while pending:
+        _flush_one()
     bar.close()
-    return results
+    return [results[i] for i in sorted(results)]
 
 
 def simulate_directory(cfg: Config, matrix_dir: str | Path, progress: bool = True):
