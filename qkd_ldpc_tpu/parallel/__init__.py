@@ -13,7 +13,7 @@ from qkd_ldpc_tpu.parallel.node_sharded import (
     bp_decode_node_sharded,
     decode_node_sharded,
 )
-from qkd_ldpc_tpu.parallel.sweep import run_point_sharded
+from qkd_ldpc_tpu.parallel.sweep import run_point_node_sharded, run_point_sharded
 
 __all__ = [
     "bp_decode_node_sharded",
@@ -25,5 +25,6 @@ __all__ = [
     "make_trial_mesh",
     "replicated",
     "trial_sharding",
+    "run_point_node_sharded",
     "run_point_sharded",
 ]

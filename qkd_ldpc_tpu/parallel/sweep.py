@@ -59,6 +59,65 @@ def _sharded_point_step(
     )
 
 
+def run_point_node_sharded(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    mesh: Mesh,
+    tick: Callable[[int], None] | None = None,
+) -> tuple[PointPartials, float]:
+    """One sweep point on a 2-D (trial, node) mesh: the batch shards over
+    ``trial`` while every frame's variable nodes shard over ``node``
+    (:func:`parallel.node_sharded.bp_decode_node_sharded`) — the sweep-level
+    composition of data parallelism with intra-frame model parallelism,
+    for frames too large (or too latency-critical) for one chip.
+
+    Statistics are bit-identical to the single-chip runner.
+    """
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
+    from qkd_ldpc_tpu.parallel.node_sharded import bp_decode_node_sharded
+
+    n_err = num_errors_for(code.n_vars, qber)
+    if n_err == 0:
+        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+    actual_qber = n_err / code.n_vars
+
+    n_trial_shards = mesh.shape.get(TRIAL_AXIS, 1)
+    batch = -(-batch // n_trial_shards) * n_trial_shards
+
+    @partial(jax.jit, static_argnames=("n_bits", "o"))
+    def step(code, point_key, trial_ids, valid, num_errors, n_bits, o):
+        alice, bob = make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
+        aq = num_errors.astype(jnp.float32) / n_bits
+        llr = apriori_llr(bob, aq)
+        syn = syndrome_fn(code, alice)
+        z, iters, ok = bp_decode_node_sharded(code, llr.T, syn.T, o, mesh)
+        keys_match = jnp.all(z.T.astype(jnp.int8) == alice.astype(jnp.int8), axis=-1)
+        return stack_partials(
+            reduce_trials(ok, keys_match, iters, o.max_iterations, valid)
+        )
+
+    total = PointPartials()
+    offset = 0
+    while offset < trials:
+        n_valid = min(batch, trials - offset)
+        trial_ids = jnp.arange(batch, dtype=jnp.uint32) + jnp.uint32(offset)
+        valid = jnp.arange(batch, dtype=jnp.int32) < n_valid
+        stacked = step(
+            code, point_key, trial_ids, valid,
+            jnp.asarray(n_err, jnp.int32), code.n_vars, opts,
+        )
+        total = total.merge(partials_from_stacked(jax.device_get(stacked)))
+        offset += n_valid
+        if tick is not None:
+            tick(n_valid)
+    return total, actual_qber
+
+
 def run_point_sharded(
     code: LDPCCode,
     point_key: jax.Array,

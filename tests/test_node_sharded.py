@@ -96,3 +96,21 @@ def test_node_only_mesh(medium_code):
     ref = decode(medium_code, llr, syn, opts)
     out = decode_node_sharded(medium_code, llr, syn, opts, mesh)
     np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+
+
+def test_node_sharded_sweep_matches_single_chip(medium_code):
+    """A sweep point on a 2-D (trial, node) mesh must produce the same
+    statistics as the single-chip runner (trial x intra-frame composition)."""
+    from qkd_ldpc_tpu.parallel import run_point_node_sharded
+    from qkd_ldpc_tpu.sim.runner import run_point
+
+    key = jax.random.fold_in(jax.random.PRNGKey(777), 2)
+    opts = DecodeOptions(max_iterations=50)
+    p1, q1 = run_point(medium_code, key, 0.03, trials=40, batch=40, opts=opts)
+    mesh = make_mesh(n_trial=4, n_node=2)
+    p2, q2 = run_point_node_sharded(
+        medium_code, key, 0.03, trials=40, batch=40, opts=opts, mesh=mesh
+    )
+    assert q1 == q2 and p1.n_trials == p2.n_trials == 40
+    assert (p1.n_sp, p1.n_ldpc, p1.sum_it, p1.sum_it2, p1.min_it, p1.max_it) == \
+           (p2.n_sp, p2.n_ldpc, p2.sum_it, p2.sum_it2, p2.min_it, p2.max_it)
