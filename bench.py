@@ -75,6 +75,9 @@ def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts):
 def main() -> None:
     from qkd_ldpc_tpu.channel.keys import num_errors_for
     from qkd_ldpc_tpu.decoder.bp import DecodeOptions
+    from qkd_ldpc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warm-up reuses prior compiles (~3 min saved)
 
     # Device-resident adjacency: avoid re-uploading the code's host numpy
     # leaves on every chunk call (the remote-TPU link makes that costly).

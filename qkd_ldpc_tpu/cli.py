@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     try:
+        from qkd_ldpc_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()  # fresh-process sweeps reuse compiles
+
         cfg = load_config(args.config)
         base = Path(args.config).resolve().parent
         # Paths from the CONFIG FILE resolve against the config's directory

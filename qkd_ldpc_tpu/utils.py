@@ -48,3 +48,30 @@ def print_error(text: str) -> None:
 
 def print_trace(text: str) -> None:
     print(colorize(text, "blue"))
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache (huge cold-start win:
+    the N=10240 sweep program compiles in ~1-3 minutes; with the cache a
+    fresh process reuses it in seconds).
+
+    Resolution order: explicit argument, ``QKD_LDPC_CACHE_DIR`` env var
+    (empty string disables), else ``~/.cache/qkd_ldpc_tpu/xla``.  Returns
+    the directory used, or None when disabled/unavailable.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "QKD_LDPC_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "qkd_ldpc_tpu", "xla"),
+        )
+    if not cache_dir:
+        return None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):
+        return None
+    return cache_dir
