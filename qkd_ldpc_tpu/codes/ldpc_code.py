@@ -119,6 +119,7 @@ def from_check_adjacency(
     check_neighbors: Sequence[np.ndarray],
     n_vars: int,
     name: str = "",
+    native: bool | None = None,
 ) -> LDPCCode:
     """Build an :class:`LDPCCode` from per-check neighbor lists.
 
@@ -127,6 +128,10 @@ def from_check_adjacency(
     by bucketing edges in ascending check order — the same edge ordering the
     reference decoder produces implicitly with its running scatter cursors
     (``src/qkd_ldpc_algorithm.cpp:56-72``).
+
+    Large graphs route through the native C++ graph-builder when it is
+    available (``native`` forces either path); both builders produce
+    bit-identical tensors (tests/test_native.py).
     """
     n_checks = len(check_neighbors)
     chk_deg = np.array([len(nb) for nb in check_neighbors], dtype=np.int32)
@@ -140,6 +145,15 @@ def from_check_adjacency(
     e_chk = np.repeat(np.arange(n_checks, dtype=np.int64), chk_deg)
     e_var = np.concatenate([np.asarray(nb, dtype=np.int64) for nb in check_neighbors])
     n_edges = e_var.size
+
+    if native or (native is None and n_edges >= 100_000):
+        from qkd_ldpc_tpu.codes._native import build_graph_native
+
+        code = build_graph_native(chk_deg, e_var.astype(np.int32), n_vars, name)
+        if code is not None:
+            return code
+        if native:
+            raise RuntimeError("Native graph builder unavailable")
     if e_var.min() < 0 or e_var.max() >= n_vars:
         raise ValueError("Variable index out of range in adjacency list")
 

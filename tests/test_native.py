@@ -115,3 +115,16 @@ def test_native_column_row_cross_validation(tmp_path):
     p.write_text(bad)
     with pytest.raises(ValueError, match="isagrees with row adjacency"):
         read_alist_native(p)
+
+
+def test_from_check_adjacency_native_path_identical(n10_code):
+    """from_check_adjacency's native route (forced) matches the NumPy path."""
+    from qkd_ldpc_tpu.codes.ldpc_code import from_check_adjacency
+
+    neighbors = [
+        np.asarray(n10_code.chk_adj[c, n10_code.chk_mask[c]])
+        for c in range(n10_code.n_checks)
+    ]
+    a = from_check_adjacency(neighbors, n10_code.n_vars, native=False)
+    b = from_check_adjacency(neighbors, n10_code.n_vars, native=True)
+    _assert_codes_identical(a, b)
