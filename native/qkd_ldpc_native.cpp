@@ -48,6 +48,21 @@ bool finalize_graph(Graph* g) {
     set_error(g, "Empty parity-check matrix");
     return false;
   }
+  if (static_cast<int64_t>(g->chk_deg.size()) != M) {
+    set_error(g, "Check-degree array size does not match the check count");
+    return false;
+  }
+  {
+    // e_var is indexed by the running sum of chk_deg below; an
+    // inconsistent (chk_deg, e_var) pair from a caller must not read out
+    // of bounds.
+    int64_t total = 0;
+    for (int32_t c = 0; c < M; ++c) total += g->chk_deg[c];
+    if (total != static_cast<int64_t>(g->e_var.size())) {
+      set_error(g, "Edge list size does not match the sum of row weights");
+      return false;
+    }
+  }
   g->var_deg.assign(N, 0);
   int64_t e = 0;
   for (int32_t c = 0; c < M; ++c) {

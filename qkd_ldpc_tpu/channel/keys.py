@@ -67,19 +67,26 @@ def _kth_smallest(scores: jax.Array, k) -> jax.Array:
     return prefix[..., None]
 
 
-def _exact_weight_mask(scores: jax.Array, num_errors) -> jax.Array:
+def _exact_weight_mask(scores: jax.Array, num_errors, tie_scores_fn=None) -> jax.Array:
     """Boolean mask with exactly ``num_errors`` True per row, uniformly
     placed, from i.i.d. uint32 ``scores`` [..., N].
 
     Selection-by-threshold instead of rank-by-double-argsort: find the
     k-th smallest score (bitwise search, no sort), flip everything
-    strictly below it, and complete the count from the threshold ties in
-    index order (cumsum).  The flip count is exact even with score
-    collisions.  Collisions among 32-bit scores are ~N^2/2^33 per frame
-    (≈0.01 for N=10240), and only the tie-completion order is
-    index-biased then, so the flip-set law is uniform to well below
-    Monte-Carlo resolution (the reference's Fisher-Yates shuffle,
-    ``src/array_and_matrix_operations.cpp:434-460``, is exactly uniform).
+    strictly below it, and complete the count from the threshold ties.
+
+    Tie handling: a genuine collision *at the threshold value* — the only
+    case where a choice exists — occurs with probability ≈(N-1)/2^32 per
+    frame (~2.4e-6 for N=10240).  When ``tie_scores_fn`` is given (a
+    thunk returning an independent uint32 tensor shaped like ``scores``),
+    such ties are completed by a second-word ranking instead of index
+    order, making the flip-set law *exactly* the reference's Fisher-Yates
+    uniform (``src/array_and_matrix_operations.cpp:434-460``) up to a
+    ~2^-64 double-collision residue.  The second word is generated and
+    ranked inside a ``lax.cond`` that fires only when some row actually
+    has excess ties, so the common path's cost is unchanged.  Without
+    ``tie_scores_fn``, ties complete in index order (uniform up to the
+    same ~2.4e-6 event).
     """
     k = jnp.asarray(num_errors, jnp.int32)
     # k >= 1 is validated by callers (floor(N*q)==0 is fatal upstream);
@@ -90,7 +97,27 @@ def _exact_weight_mask(scores: jax.Array, num_errors) -> jax.Array:
     n_below = jnp.sum(below, axis=-1, keepdims=True)
     tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=-1) - 1
     need = jnp.asarray(k, jnp.int32) - n_below
-    mask = below | (at & (tie_rank < need))
+    index_mask = below | (at & (tie_rank < need))
+
+    if tie_scores_fn is None:
+        return jnp.where(k > 0, index_mask, False)
+
+    n_at = jnp.sum(at, axis=-1, keepdims=True)
+    # A choice among ties exists only when more scores sit at the
+    # threshold than are needed; rows where n_at == need take all ties in
+    # both branches, so batching cannot change any trial's outcome.
+    has_excess = jnp.any((n_at > need) & (k > 0))
+
+    def uniform_ties(_):
+        s2 = jnp.where(at, tie_scores_fn(), jnp.uint32(0xFFFFFFFF))
+        t2 = _kth_smallest(s2, jnp.maximum(need[..., 0], 1))
+        below2 = at & (s2 < t2)
+        at2 = at & (s2 == t2)
+        rank2 = jnp.cumsum(at2.astype(jnp.int32), axis=-1) - 1
+        need2 = need - jnp.sum(below2, axis=-1, keepdims=True)
+        return below | below2 | (at2 & (rank2 < need2))
+
+    mask = jax.lax.cond(has_excess, uniform_ties, lambda _: index_mask, None)
     return jnp.where(k > 0, mask, False)
 
 
@@ -102,7 +129,11 @@ def introduce_errors(
     """Flip exactly ``num_errors`` uniformly random positions per frame."""
     B, N = bits.shape
     scores = jax.random.bits(key, (B, N), jnp.uint32)
-    flip = _exact_weight_mask(scores, num_errors)
+    tie_key = jax.random.fold_in(key, 1)
+    flip = _exact_weight_mask(
+        scores, num_errors,
+        tie_scores_fn=lambda: jax.random.bits(tie_key, (B, N), jnp.uint32),
+    )
     return jnp.where(flip, bits ^ 1, bits).astype(jnp.uint8)
 
 
@@ -127,12 +158,22 @@ def make_trials_from_ids(
         lambda k: jax.random.bernoulli(k, 0.5, (n_bits,)).astype(jnp.uint8)
     )(alice_keys)
 
-    def flip_one(k, a):
-        scores = jax.random.bits(k, (n_bits,), jnp.uint32)
-        flip = _exact_weight_mask(scores, num_errors)
-        return jnp.where(flip, a ^ 1, a).astype(jnp.uint8)
-
-    bob = jax.vmap(flip_one)(error_keys, alice)
+    # The flip mask is computed OUTSIDE the per-trial vmap so the rare
+    # tie-break branch stays a real `lax.cond` (vmap would turn it into a
+    # select that always pays for the second score word).  Each trial's
+    # scores still depend only on its own derived key, so determinism is
+    # independent of batching.
+    scores = jax.vmap(
+        lambda k: jax.random.bits(k, (n_bits,), jnp.uint32)
+    )(error_keys)
+    tie_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(error_keys)
+    flip = _exact_weight_mask(
+        scores, num_errors,
+        tie_scores_fn=lambda: jax.vmap(
+            lambda k: jax.random.bits(k, (n_bits,), jnp.uint32)
+        )(tie_keys),
+    )
+    bob = jnp.where(flip, alice ^ 1, alice).astype(jnp.uint8)
     return alice, bob
 
 

@@ -54,7 +54,13 @@ def load_library():
         if os.environ.get("QKD_LDPC_NO_NATIVE"):
             _lib_failed = True
             return None
-        if not _SO_PATH.exists() and not _build_library():
+        src = _NATIVE_DIR / "qkd_ldpc_native.cpp"
+        stale = (
+            _SO_PATH.exists()
+            and src.exists()
+            and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+        )
+        if (not _SO_PATH.exists() or stale) and not _build_library():
             _lib_failed = True
             return None
         try:

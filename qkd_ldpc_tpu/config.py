@@ -57,9 +57,11 @@ class Config:
     """Full simulation configuration.
 
     Reference-compatible fields keep the semantics of ``config_data``
-    (reference ``src/config.hpp:23-63``).  ``threads_number`` is accepted for
-    config-file compatibility but on TPU maps to host-side IO concurrency
-    only — trial parallelism is a sharded device batch, not a thread pool.
+    (reference ``src/config.hpp:23-63``).  ``threads_number`` sizes the
+    host thread pool for matrix ingest (``sim.runner.prepare_sim_inputs``)
+    — trial parallelism itself is a sharded device batch, not a thread
+    pool, so the reference's trial-pool knob (simulation.cpp:230) maps to
+    the remaining host-side concurrency.
     """
 
     # --- reference-compatible fields -------------------------------------

@@ -78,14 +78,17 @@ class DecodeOptions:
     # Storage dtype of the edge-message state.  "bfloat16" halves the HBM
     # traffic of the decode loop (the TPU bottleneck); all transcendentals,
     # row reductions, and totals still compute in float32, and only the
-    # per-edge messages round through bf16.  FER/iteration parity vs
-    # float32 is validated in tests/test_parity.py.
+    # per-edge messages round through bf16.  Hard-decision/iteration parity
+    # vs float32 is validated in
+    # tests/test_decoder.py::test_bf16_messages_match_f32_decisions, and
+    # the FER bias at the waterfall is quantified in benchmarks/.
     message_dtype: str = "float32"  # "float32" | "bfloat16"
     # Check-update implementation: "pallas" (hand-written VMEM-tiled
     # kernel, decoder.pallas_kernels — measured ~24% faster end-to-end
     # than the XLA lowering on TPU v5e, benchmarks/pallas_vs_xla.md),
-    # "xla" (fused jnp), or "auto" (pallas on TPU for sum-product, xla
-    # otherwise — pallas interpret mode on CPU is debug-only slow).
+    # "xla" (fused jnp), or "auto" (pallas on TPU — both the sum-product
+    # and min-sum kernels exist — xla otherwise; pallas interpret mode on
+    # CPU is debug-only slow).
     backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     def __post_init__(self):

@@ -13,7 +13,11 @@ from qkd_ldpc_tpu.parallel.node_sharded import (
     bp_decode_node_sharded,
     decode_node_sharded,
 )
-from qkd_ldpc_tpu.parallel.sweep import run_point_node_sharded, run_point_sharded
+from qkd_ldpc_tpu.parallel.sweep import (
+    run_point_node_sharded,
+    run_point_sharded,
+    run_sweep_sharded,
+)
 
 __all__ = [
     "bp_decode_node_sharded",
@@ -27,4 +31,5 @@ __all__ = [
     "trial_sharding",
     "run_point_node_sharded",
     "run_point_sharded",
+    "run_sweep_sharded",
 ]

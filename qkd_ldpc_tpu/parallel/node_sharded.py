@@ -20,9 +20,19 @@ Design (the sharding recipe, scaling-book style):
   Leave-one-out then happens edge-locally: global row minus the edge's own
   contribution (the numerically-safe form of the reference's
   ``row_prod / tanh_j`` division, ``src/qkd_ldpc_algorithm.cpp:67``).
-- Communication per iteration: exactly two ``psum``s of ``[M, B]`` rows
-  (one fused float stack for the check update, one int parity for the
-  decision syndrome) riding ICI.  Everything else is shard-local.
+- **Min-sum** needs the global top-2 |message| minima per check (not a
+  sum): each shard computes its local top-2 candidates (value as
+  monotonic int32 float-bits, plus the check-major slot index of the
+  minimum for the single-chip tie rule) with segment-mins, one
+  ``all_gather`` over ``node`` collects all shards' candidates, and the
+  global (min1, first-slot, min2) merge is then shard-local.  Because
+  min and integer sign-counts are exactly associative, node-sharded
+  min-sum is bit-identical to the single-chip kernel on any mesh.
+- Communication per iteration: exactly two collectives of ``[M, B]``-row
+  tensors (one fused stack for the check update — a ``psum`` for
+  sum-product, an ``all_gather`` for min-sum — and one int parity
+  ``psum`` for the decision syndrome) riding ICI.  Everything else is
+  shard-local.
 
 Composes with trial-grid data parallelism: on a 2-D ``(trial, node)``
 mesh the batch axis shards over ``trial`` while each frame's variable
@@ -76,34 +86,40 @@ def bp_decode_node_sharded(
     trial = TRIAL_AXIS if has_trial else None
 
     N, M = code.n_vars, code.n_checks
+    dc = code.dc_max
     B = llr.shape[1]
     n_pad = (-N) % n_node
+    dtype = llr.dtype
+    # Storage dtype of the carried edge messages (decoder.bp's
+    # message_dtype contract): compute stays in `dtype`, only the carried
+    # Lq rounds through bf16.
+    mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
 
     var_adj = jnp.asarray(code.var_adj)
     var_mask = jnp.asarray(code.var_mask)
+    # Check-major slot index j of each variable-side edge (static):
+    # var_slot stores the flat slot c*dc_max + j, so j = var_slot % dc_max.
+    # Min-sum's tie rule needs it (single-chip kernel excludes the FIRST
+    # occurrence of the row minimum in check-major slot order).
+    var_jslot = jnp.asarray(code.var_slot) % jnp.int32(dc)
     # Dummy variables: no edges, LLR pinned positive -> decision bit 0,
     # zero contribution to every check row.
     var_adj_p = _pad_rows(var_adj, n_pad, 0)
     var_mask_p = _pad_rows(var_mask, n_pad, False)
+    var_jslot_p = _pad_rows(var_jslot, n_pad, 0)
     llr_p = _pad_rows(llr, n_pad, jnp.asarray(1.0, llr.dtype))
 
     syndrome = syndrome.astype(jnp.int32)
     threshold = jnp.asarray(opts.message_threshold, llr.dtype)
-
-    if opts.algorithm != "sum-product":
-        # Min-sum's leave-one-out needs a global top-2 min per check, which
-        # is not a psum-able reduction; the node-sharded path ships the
-        # exact sum-product rule (the production default).
-        raise NotImplementedError(
-            "node-sharded decoding implements the sum-product rule only"
-        )
 
     def clip_msgs(x):
         if opts.clip_messages:
             return jnp.clip(x, -threshold, threshold)
         return x
 
-    def shard_fn(llr_s, var_adj_s, var_mask_s, syn):
+    _INF_BITS = jnp.int32(0x7F800000)  # float-bits of +inf (monotonic cap)
+
+    def shard_fn(llr_s, var_adj_s, var_mask_s, var_jslot_s, syn):
         """Runs on one node shard: llr_s [Nl, B], syn [M, B] (replicated
         over node, sharded over trial)."""
         Nl, dv = var_adj_s.shape
@@ -115,12 +131,16 @@ def bp_decode_node_sharded(
             flat = x.reshape(Nl * dv, -1)
             return jax.ops.segment_sum(flat, seg, num_segments=M + 1)[:M]
 
+        def seg_min(x):  # [Nl, dv, B] int32 -> [M, B] local min partial
+            flat = x.reshape(Nl * dv, -1)
+            return jax.ops.segment_min(flat, seg, num_segments=M + 1)[:M]
+
         def gather_rows(rows):  # [M, B] -> [Nl, dv, B] per local edge
             return jnp.take(rows, var_adj_s.reshape(-1), axis=0).reshape(
                 Nl, dv, -1
             )
 
-        def check_to_var(Lq):
+        def check_to_var_sum_product(Lq):
             """Check update distributed over shards: local partials ->
             psum -> edge-local leave-one-out."""
             t = jnp.tanh(Lq * 0.5)
@@ -142,11 +162,71 @@ def bp_decode_node_sharded(
             q = jnp.minimum(gather_rows(jnp.exp(row_log)) / mag, 1.0)
             return sign * jnp.log1p(2.0 * q / (1.0 - q))
 
+        def check_to_var_min_sum(Lq):
+            """Normalized min-sum check update distributed over shards.
+
+            |message| is compared as its int32 float-bits (monotonic for
+            non-negative floats), so min reductions are exact; the global
+            top-2 per check merges each shard's local (min1, first-slot,
+            min2) candidates after ONE all_gather.  Tie rule matches the
+            single-chip kernel: the excluded edge is the first occurrence
+            of the row minimum in check-major slot order.
+            """
+            absL = jnp.where(mask3, jnp.abs(Lq), jnp.inf)
+            bits = jax.lax.bitcast_convert_type(absL, jnp.int32)
+            neg = jnp.where(mask3 & (Lq < 0), jnp.int32(1), jnp.int32(0))
+            jslot = var_jslot_s[:, :, None]
+            big_slot = jnp.int32(dc)
+
+            min1_l = jnp.minimum(seg_min(bits), _INF_BITS)
+            at_min1 = bits == gather_rows(min1_l)
+            slot1_l = seg_min(jnp.where(at_min1, jslot, big_slot))
+            own = at_min1 & (jslot == gather_rows(slot1_l))
+            min2_l = jnp.minimum(seg_min(jnp.where(own, _INF_BITS, bits)), _INF_BITS)
+
+            # One collective: stack local candidates + the sign partial.
+            local = jnp.stack([min1_l, slot1_l, min2_l, seg_sum(neg)])
+            allc = jax.lax.all_gather(local, NODE_AXIS)  # [n, 4, M, B]
+            c_min1, c_slot1, c_min2, c_neg = (
+                allc[:, 0], allc[:, 1], allc[:, 2], allc[:, 3]
+            )
+
+            min1_g = jnp.min(c_min1, axis=0)
+            slot1_g = jnp.min(
+                jnp.where(c_min1 == min1_g, c_slot1, big_slot), axis=0
+            )
+            # Exclude exactly the global first-occurrence edge (unique:
+            # (check, slot) identifies one edge on one shard), then the
+            # global second minimum is the min over all remaining
+            # candidates from both candidate ranks.
+            ex1 = (c_min1 == min1_g) & (c_slot1 == slot1_g)
+            min2_g = jnp.minimum(
+                jnp.min(jnp.where(ex1, _INF_BITS, c_min1), axis=0),
+                jnp.min(c_min2, axis=0),
+            )
+            row_neg = jnp.sum(c_neg, axis=0)
+
+            own_g = at_min1 & (jslot == gather_rows(slot1_g))
+            loo_bits = jnp.where(own_g, gather_rows(min2_g), gather_rows(min1_g))
+            loo_min = jax.lax.bitcast_convert_type(loo_bits, jnp.float32).astype(
+                llr_s.dtype
+            )
+            loo_neg = (gather_rows(row_neg) - neg) & 1
+            sign = jnp.where(loo_neg == 1, -1.0, 1.0) * gather_rows(syn_sign)
+            return opts.min_sum_alpha * sign * loo_min
+
+        check_to_var = (
+            check_to_var_min_sum
+            if opts.algorithm == "min-sum"
+            else check_to_var_sum_product
+        )
+
         def body(carry):
             Lq, z_out, iters, done, it = carry
 
-            Lr = clip_msgs(check_to_var(Lq))  # [Nl, dv, B]
-            total = llr_s + jnp.sum(jnp.where(mask3, Lr, 0.0), axis=1)
+            Lr = clip_msgs(check_to_var(Lq.astype(dtype))).astype(mdt)
+            Lr_f = Lr.astype(dtype)
+            total = llr_s + jnp.sum(jnp.where(mask3, Lr_f, 0.0), axis=1)
             z = (total <= 0).astype(jnp.int8)
 
             # Decision syndrome: local parity partials -> psum.
@@ -160,7 +240,7 @@ def bp_decode_node_sharded(
             iters = jnp.where(active, it + 1, iters)
             done = jnp.logical_or(done, ok)
 
-            Lq_new = clip_msgs(total[:, None, :] - Lr)
+            Lq_new = clip_msgs(total[:, None, :] - Lr_f).astype(mdt)
             return Lq_new, z_out, iters, done, it + 1
 
         def cond(carry):
@@ -168,7 +248,7 @@ def bp_decode_node_sharded(
             return jnp.logical_and(it < opts.max_iterations, ~jnp.all(done))
 
         Bl = llr_s.shape[1]
-        Lq0 = jnp.broadcast_to(llr_s[:, None, :], (Nl, dv, Bl))
+        Lq0 = jnp.broadcast_to(llr_s[:, None, :], (Nl, dv, Bl)).astype(mdt)
         init = (
             Lq0,
             jnp.zeros((Nl, Bl), jnp.int8),
@@ -187,12 +267,13 @@ def bp_decode_node_sharded(
             P(NODE_AXIS, trial),  # llr
             P(NODE_AXIS, None),  # var_adj
             P(NODE_AXIS, None),  # var_mask
+            P(NODE_AXIS, None),  # var_jslot
             P(None, trial),  # syndrome
         ),
         out_specs=(P(NODE_AXIS, trial), P(trial), P(trial)),
         check_vma=False,
     )
-    z, iters, ok = sharded(llr_p, var_adj_p, var_mask_p, syndrome)
+    z, iters, ok = sharded(llr_p, var_adj_p, var_mask_p, var_jslot_p, syndrome)
     return z[:N], iters, ok
 
 

@@ -8,6 +8,14 @@ auto-partitions the whole program (all ops are batch-parallel) and inserts
 a single all-reduce for the final scalar sums — the entire communication
 cost of the sweep, riding ICI.
 
+Dispatch discipline mirrors the single-chip runner
+(``sim.runner._point_chunk`` / ``_dispatch_point``): sequential trial
+batches are chained on-device with ``lax.scan`` so a whole sweep point
+costs ONE dispatch + ONE scalar fetch regardless of trial count, and
+points can be pipelined (dispatch point k+1 before fetching point k) —
+on a multi-host pod the ~30 ms per-dispatch host latency would otherwise
+return per batch.
+
 Determinism: trial t's keys depend only on (master seed, point index, t)
 via ``fold_in`` — results are bit-identical across 1 chip, 8 chips, or a
 multi-host pod (the reference achieves the thread-count analog of this
@@ -37,8 +45,7 @@ from qkd_ldpc_tpu.sim.stats import (
 )
 
 
-@partial(jax.jit, static_argnames=("n_bits", "opts"), donate_argnums=())
-def _sharded_point_step(
+def _batch_partials(
     code: LDPCCode,
     point_key: jax.Array,
     trial_ids: jax.Array,  # [B] uint32, sharded over the trial axis
@@ -47,75 +54,128 @@ def _sharded_point_step(
     n_bits: int,
     opts: DecodeOptions,
 ) -> dict[str, jax.Array]:
+    """One trial batch -> partial-sum dict (traceable, not jitted)."""
     alice, bob = make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
     actual_qber = num_errors.astype(jnp.float32) / n_bits
     res = reconcile(code, alice, bob, actual_qber, opts)
-    # Stacked [7] int32: one fetch per batch (see sim.stats.stack_partials).
-    return stack_partials(
-        reduce_trials(
-            res.syndromes_match, res.keys_match, res.iterations,
-            opts.max_iterations, valid,
-        )
+    return reduce_trials(
+        res.syndromes_match, res.keys_match, res.iterations,
+        opts.max_iterations, valid,
     )
 
 
-def run_point_node_sharded(
+@partial(jax.jit, static_argnames=("n_bits", "n_batches", "opts"))
+def _sharded_chunk(
     code: LDPCCode,
     point_key: jax.Array,
-    qber: float,
+    trial_lane: jax.Array,  # [B] uint32 = arange(batch), sharded over trial
+    num_errors: jax.Array,  # scalar int32
+    start_offset: jax.Array,  # scalar int32
+    total_valid: jax.Array,  # scalar int32 (trials remaining in this chunk)
+    n_bits: int,
+    n_batches: int,
+    opts: DecodeOptions,
+) -> jax.Array:
+    """``n_batches`` sequential sharded trial batches scan-chained on device.
+
+    The sharded counterpart of ``sim.runner._point_chunk``: one dispatch +
+    one [7]-int32 fetch per chunk.  ``trial_lane`` carries the trial-axis
+    sharding into the program; every derived per-trial tensor inherits it
+    and GSPMD inserts a single all-reduce for the scalar sums.
+    """
+    batch = trial_lane.shape[0]
+
+    def one(i):
+        offset = start_offset + i * batch
+        valid_count = jnp.clip(total_valid - i * batch, 0, batch)
+        trial_ids = trial_lane + offset.astype(jnp.uint32)
+        valid = trial_lane < valid_count.astype(jnp.uint32)
+        return _batch_partials(
+            code, point_key, trial_ids, valid, num_errors, n_bits, opts
+        )
+
+    from qkd_ldpc_tpu.sim.runner import merge_partials_tree
+
+    init = one(jnp.asarray(0, jnp.int32))
+    if n_batches > 1:
+        def body(carry, i):
+            return merge_partials_tree(carry, one(i)), None
+
+        init, _ = jax.lax.scan(
+            body, init, jnp.arange(1, n_batches, dtype=jnp.int32)
+        )
+    return stack_partials(init)
+
+
+def _check_int32_stats_bound(batch: int, opts: DecodeOptions) -> int:
+    """Trials per device-merged chunk must keep Σ iters² under 2^31
+    (device sums are exact int32; host merges are exact Python ints).
+    Returns the max number of batches safe to merge in one chunk."""
+    mi2 = max(opts.max_iterations, 1) ** 2
+    if batch * mi2 > 2**31 - 1:
+        raise ValueError(
+            f"batch ({batch}) x max_iterations^2 ({opts.max_iterations}^2) "
+            "overflows the int32 iteration statistics; lower batch_size"
+        )
+    return max(1, (2**31 - 1) // (batch * mi2))
+
+
+def _dispatch_point_sharded(
+    code_dev,
+    point_key_dev,
+    trial_lane,
+    n_err: int,
+    n_bits: int,
     trials: int,
     batch: int,
     opts: DecodeOptions,
-    mesh: Mesh,
-    tick: Callable[[int], None] | None = None,
-) -> tuple[PointPartials, float]:
-    """One sweep point on a 2-D (trial, node) mesh: the batch shards over
-    ``trial`` while every frame's variable nodes shard over ``node``
-    (:func:`parallel.node_sharded.bp_decode_node_sharded`) — the sweep-level
-    composition of data parallelism with intra-frame model parallelism,
-    for frames too large (or too latency-critical) for one chip.
+    max_batches_per_dispatch: int,
+) -> list:
+    """Queue all chunks of one point WITHOUT fetching; returns futures.
 
-    Statistics are bit-identical to the single-chip runner.
-    """
-    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
-    from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
-    from qkd_ldpc_tpu.parallel.node_sharded import bp_decode_node_sharded
-
-    n_err = num_errors_for(code.n_vars, qber)
-    if n_err == 0:
-        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
-    actual_qber = n_err / code.n_vars
-
-    n_trial_shards = mesh.shape.get(TRIAL_AXIS, 1)
-    batch = -(-batch // n_trial_shards) * n_trial_shards
-
-    @partial(jax.jit, static_argnames=("n_bits", "o"))
-    def step(code, point_key, trial_ids, valid, num_errors, n_bits, o):
-        alice, bob = make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
-        aq = num_errors.astype(jnp.float32) / n_bits
-        llr = apriori_llr(bob, aq)
-        syn = syndrome_fn(code, alice)
-        z, iters, ok = bp_decode_node_sharded(code, llr.T, syn.T, o, mesh)
-        keys_match = jnp.all(z.T.astype(jnp.int8) == alice.astype(jnp.int8), axis=-1)
-        return stack_partials(
-            reduce_trials(ok, keys_match, iters, o.max_iterations, valid)
-        )
-
-    total = PointPartials()
+    Separating dispatch from fetch lets a sweep pipeline point k+1's
+    dispatch under point k's device compute (as ``sim.runner``'s
+    ``batch_simulation`` does single-chip)."""
+    safe_batches = _check_int32_stats_bound(batch, opts)
+    futures = []
     offset = 0
     while offset < trials:
-        n_valid = min(batch, trials - offset)
-        trial_ids = jnp.arange(batch, dtype=jnp.uint32) + jnp.uint32(offset)
-        valid = jnp.arange(batch, dtype=jnp.int32) < n_valid
-        stacked = step(
-            code, point_key, trial_ids, valid,
-            jnp.asarray(n_err, jnp.int32), code.n_vars, opts,
+        remaining = trials - offset
+        n_batches = min(
+            -(-remaining // batch), max_batches_per_dispatch, safe_batches
         )
+        valid = min(n_batches * batch, remaining)
+        futures.append(
+            _sharded_chunk(
+                code_dev, point_key_dev, trial_lane,
+                jnp.asarray(n_err, jnp.int32),
+                jnp.asarray(offset, jnp.int32),
+                jnp.asarray(valid, jnp.int32),
+                n_bits, n_batches, opts,
+            )
+        )
+        offset += valid
+    return futures
+
+
+def _collect(futures: list) -> PointPartials:
+    total = PointPartials()
+    for stacked in futures:
         total = total.merge(partials_from_stacked(jax.device_get(stacked)))
-        offset += n_valid
-        if tick is not None:
-            tick(n_valid)
-    return total, actual_qber
+    return total
+
+
+def _make_trial_lane(batch: int, mesh: Mesh) -> jax.Array:
+    """[batch] uint32 arange sharded over the trial axis.
+
+    ``make_array_from_callback`` builds each device's shard locally, so
+    this path also works multi-host (jax.distributed), where a plain
+    device_put of a host-local array onto a global sharding cannot.
+    """
+    shard = trial_sharding(mesh)
+    return jax.make_array_from_callback(
+        (batch,), shard, lambda idx: np.arange(batch, dtype=np.uint32)[idx]
+    )
 
 
 def run_point_sharded(
@@ -127,12 +187,14 @@ def run_point_sharded(
     opts: DecodeOptions,
     mesh: Mesh,
     tick: Callable[[int], None] | None = None,
+    max_batches_per_dispatch: int = 64,
 ) -> tuple[PointPartials, float]:
     """All trials of one (matrix, QBER) point, sharded over ``mesh``.
 
     ``batch`` is the *global* batch (rounded up to a multiple of the trial
     axis size); the tail is masked out, so partial sums are exactly those
-    of the unsharded runner.
+    of the unsharded runner.  Batches are scan-chained on device: one
+    dispatch + one [7]-scalar fetch per ~64-batch chunk.
     """
     n_err = num_errors_for(code.n_vars, qber)
     if n_err == 0:
@@ -141,36 +203,172 @@ def run_point_sharded(
 
     n_shards = mesh.shape[TRIAL_AXIS]
     batch = -(-batch // n_shards) * n_shards  # round up to shard multiple
-    shard = trial_sharding(mesh)
     repl = replicated(mesh)
 
     code_dev = jax.device_put(code, repl)
-    point_key = jax.device_put(point_key, repl)
+    point_key_dev = jax.device_put(point_key, repl)
+    trial_lane = _make_trial_lane(batch, mesh)
 
-    total = PointPartials()
+    futures = _dispatch_point_sharded(
+        code_dev, point_key_dev, trial_lane, n_err, code.n_vars,
+        trials, batch, opts, max_batches_per_dispatch,
+    )
+    total = _collect(futures)
+    if tick is not None:
+        tick(total.n_trials)
+    return total, actual_qber
+
+
+def run_sweep_sharded(
+    code: LDPCCode,
+    master_key: jax.Array,
+    qbers: list[float],
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    mesh: Mesh,
+    tick: Callable[[int], None] | None = None,
+    max_batches_per_dispatch: int = 64,
+) -> list[tuple[PointPartials, float]]:
+    """A full QBER sweep on the mesh with PIPELINED points: point k+1's
+    chunk is dispatched before point k's scalars are fetched, hiding the
+    per-dispatch host latency under device compute (the sharded analog of
+    ``sim.runner.batch_simulation``'s pipeline; results are unchanged —
+    every point's trials depend only on its own key)."""
+    n_err_list = [num_errors_for(code.n_vars, q) for q in qbers]
+    for q, n_err in zip(qbers, n_err_list):
+        if n_err == 0:
+            raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+
+    n_shards = mesh.shape[TRIAL_AXIS]
+    batch = -(-batch // n_shards) * n_shards
+    repl = replicated(mesh)
+    code_dev = jax.device_put(code, repl)
+    trial_lane = _make_trial_lane(batch, mesh)
+
+    results: list[tuple[PointPartials, float]] = []
+    pending: list[tuple[list, float]] = []
+
+    def flush_one():
+        futures, actual = pending.pop(0)
+        total = _collect(futures)
+        if tick is not None:
+            tick(total.n_trials)
+        results.append((total, actual))
+
+    for i, (qber, n_err) in enumerate(zip(qbers, n_err_list)):
+        point_key_dev = jax.device_put(jax.random.fold_in(master_key, i), repl)
+        futures = _dispatch_point_sharded(
+            code_dev, point_key_dev, trial_lane, n_err, code.n_vars,
+            trials, batch, opts, max_batches_per_dispatch,
+        )
+        pending.append((futures, n_err / code.n_vars))
+        if len(pending) > 1:  # keep one point in flight
+            flush_one()
+    while pending:
+        flush_one()
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Node-sharded sweep point (2-D trial x node mesh)
+
+
+@partial(
+    jax.jit, static_argnames=("n_bits", "batch", "n_batches", "opts", "mesh")
+)
+def _node_sharded_chunk(
+    code: LDPCCode,
+    point_key: jax.Array,
+    num_errors: jax.Array,
+    start_offset: jax.Array,
+    total_valid: jax.Array,
+    n_bits: int,
+    batch: int,
+    n_batches: int,
+    opts: DecodeOptions,
+    mesh: Mesh,
+) -> jax.Array:
+    """Scan-chained chunk of node-sharded trial batches (module-level jit:
+    a per-call closure would retrace every invocation — the pitfall
+    ``node_sharded.py``'s own comment warns about)."""
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
+    from qkd_ldpc_tpu.parallel.node_sharded import bp_decode_node_sharded
+    from qkd_ldpc_tpu.sim.runner import merge_partials_tree
+
+    def one(i):
+        offset = start_offset + i * batch
+        valid_count = jnp.clip(total_valid - i * batch, 0, batch)
+        lane = jnp.arange(batch, dtype=jnp.uint32)
+        trial_ids = lane + offset.astype(jnp.uint32)
+        valid = lane < valid_count.astype(jnp.uint32)
+        alice, bob = make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
+        aq = num_errors.astype(jnp.float32) / n_bits
+        llr = apriori_llr(bob, aq)
+        syn = syndrome_fn(code, alice)
+        z, iters, ok = bp_decode_node_sharded(code, llr.T, syn.T, opts, mesh)
+        keys_match = jnp.all(z.T.astype(jnp.int8) == alice.astype(jnp.int8), axis=-1)
+        return reduce_trials(ok, keys_match, iters, opts.max_iterations, valid)
+
+    init = one(jnp.asarray(0, jnp.int32))
+    if n_batches > 1:
+        def body(carry, i):
+            return merge_partials_tree(carry, one(i)), None
+
+        init, _ = jax.lax.scan(
+            body, init, jnp.arange(1, n_batches, dtype=jnp.int32)
+        )
+    return stack_partials(init)
+
+
+def run_point_node_sharded(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    mesh: Mesh,
+    tick: Callable[[int], None] | None = None,
+    max_batches_per_dispatch: int = 64,
+) -> tuple[PointPartials, float]:
+    """One sweep point on a 2-D (trial, node) mesh: the batch shards over
+    ``trial`` while every frame's variable nodes shard over ``node``
+    (:func:`parallel.node_sharded.bp_decode_node_sharded`) — the sweep-level
+    composition of data parallelism with intra-frame model parallelism,
+    for frames too large (or too latency-critical) for one chip.
+
+    Statistics are bit-identical to the single-chip runner.
+    """
+    n_err = num_errors_for(code.n_vars, qber)
+    if n_err == 0:
+        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+    actual_qber = n_err / code.n_vars
+
+    n_trial_shards = mesh.shape.get(TRIAL_AXIS, 1)
+    batch = -(-batch // n_trial_shards) * n_trial_shards
+    safe_batches = _check_int32_stats_bound(batch, opts)
+
+    futures = []
     offset = 0
     while offset < trials:
-        n_valid = min(batch, trials - offset)
-        # make_array_from_callback builds each device's shard locally, so
-        # this path also works multi-host (jax.distributed), where a plain
-        # device_put of a host-local array onto a global sharding cannot.
-        off = offset
-        trial_ids = jax.make_array_from_callback(
-            (batch,), shard,
-            lambda idx: np.arange(batch, dtype=np.uint32)[idx] + np.uint32(off),
+        remaining = trials - offset
+        n_batches = min(
+            -(-remaining // batch), max_batches_per_dispatch, safe_batches
         )
-        valid = jax.make_array_from_callback(
-            (batch,), shard,
-            lambda idx: (np.arange(batch, dtype=np.int32) < n_valid)[idx],
+        valid = min(n_batches * batch, remaining)
+        futures.append(
+            _node_sharded_chunk(
+                code, point_key,
+                jnp.asarray(n_err, jnp.int32),
+                jnp.asarray(offset, jnp.int32),
+                jnp.asarray(valid, jnp.int32),
+                code.n_vars, batch, n_batches, opts, mesh,
+            )
         )
-        stacked = _sharded_point_step(
-            code_dev, point_key, trial_ids, valid,
-            jnp.asarray(n_err, jnp.int32), code.n_vars, opts,
-        )
-        total = total.merge(
-            partials_from_stacked(jax.device_get(stacked))
-        )
-        offset += n_valid
-        if tick is not None:
-            tick(n_valid)
+        offset += valid
+    total = _collect(futures)
+    if tick is not None:
+        tick(total.n_trials)
     return total, actual_qber

@@ -73,10 +73,26 @@ def prepare_sim_inputs(
     matrix_paths: Sequence[str | Path], cfg: Config
 ) -> list[SimInput]:
     """Load all matrices and plan their QBER sweeps
-    (reference ``prepare_sim_inputs``, simulation.cpp:140-158)."""
+    (reference ``prepare_sim_inputs``, simulation.cpp:140-158).
+
+    ``cfg.threads_number`` sizes the host thread pool for matrix ingest —
+    the TPU build's consumer of the reference's thread-count knob (the
+    reference sizes its trial pool with it, simulation.cpp:230; here trial
+    parallelism is a sharded device batch, so the host threads go to the
+    remaining host-side work: parsing many alist files concurrently).
+    """
+    paths = list(matrix_paths)
+    if cfg.threads_number > 1 and len(paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.threads_number) as pool:
+            codes = list(
+                pool.map(lambda p: load_code(p, dense=cfg.use_dense_matrices), paths)
+            )
+    else:
+        codes = [load_code(p, dense=cfg.use_dense_matrices) for p in paths]
     inputs = []
-    for path in matrix_paths:
-        code = load_code(path, dense=cfg.use_dense_matrices)
+    for path, code in zip(paths, codes):
         qber = rate_based_qber_range(code.code_rate, cfg.r_qber_parameters)
         inputs.append(
             SimInput(code=code, matrix_filename=Path(path).name, qber=qber)

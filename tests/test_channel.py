@@ -91,3 +91,49 @@ def test_exact_count_full_and_zero_weight():
     scores = jax.random.bits(jax.random.PRNGKey(0), (8, 128), jnp.uint32)
     assert np.all(np.asarray(_exact_weight_mask(scores, 128).sum(axis=-1)) == 128)
     assert np.all(np.asarray(_exact_weight_mask(scores, 0).sum(axis=-1)) == 0)
+
+
+def test_forced_ties_uniform_no_index_bias():
+    """With a second tie-break word, forced threshold collisions select
+    uniformly among the tied positions — no index-order bias (the
+    reference's Fisher-Yates shuffle is exactly uniform,
+    amo.cpp:434-460).  Without it, the first k indices always win."""
+    from qkd_ldpc_tpu.channel.keys import _exact_weight_mask
+
+    n, k, reps = 16, 4, 400
+    scores = jnp.full((n,), 7, dtype=jnp.uint32)  # all positions tied
+
+    # Index-order fallback: deterministic first-k selection (the bias).
+    legacy = np.asarray(_exact_weight_mask(scores, k))
+    assert legacy[:k].all() and not legacy[k:].any()
+
+    counts = np.zeros(n)
+    for r in range(reps):
+        key = jax.random.fold_in(jax.random.PRNGKey(123), r)
+        mask = _exact_weight_mask(
+            scores, k,
+            tie_scores_fn=lambda: jax.random.bits(key, (n,), jnp.uint32),
+        )
+        m = np.asarray(mask)
+        assert m.sum() == k
+        counts += m
+    # Each position expects reps*k/n = 100 hits; 5 sigma ~ +-46.
+    expected = reps * k / n
+    sigma = np.sqrt(reps * (k / n) * (1 - k / n))
+    assert np.all(np.abs(counts - expected) < 5 * sigma), counts
+
+
+def test_tie_break_changes_only_tie_frames():
+    """The second-word tie path leaves collision-free frames bit-identical
+    to the index-order path (so round-1 parity curves are unaffected)."""
+    from qkd_ldpc_tpu.channel.keys import _exact_weight_mask
+
+    scores = jax.random.bits(jax.random.PRNGKey(9), (16, 256), jnp.uint32)
+    a = _exact_weight_mask(scores, 17)
+    b = _exact_weight_mask(
+        scores, 17,
+        tie_scores_fn=lambda: jax.random.bits(
+            jax.random.PRNGKey(10), (16, 256), jnp.uint32
+        ),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,11 +1,16 @@
-"""Real multi-process jax.distributed test on the CPU backend.
+"""Real multi-process jax.distributed tests on the CPU backend.
 
-Two coordinated processes (gloo collectives over localhost), each with 4
-virtual CPU devices, form a global 8-device ``trial`` mesh and run the
-sharded Monte-Carlo sweep.  Results must be bit-identical across ranks
-AND to the plain single-process runner — the framework's determinism
-contract extends across process boundaries (the multi-host analog of the
-reference's thread-schedule independence, ``src/simulation.cpp:222-247``).
+Coordinated processes (gloo collectives over localhost), each with
+several virtual CPU devices, form a global 8-device ``trial`` mesh and
+run the sharded Monte-Carlo sweep.  Results must be bit-identical across
+ranks AND to the plain single-process runner — the framework's
+determinism contract extends across process boundaries (the multi-host
+analog of the reference's thread-schedule independence,
+``src/simulation.cpp:222-247``).
+
+Tested process topologies: 2 processes x 4 devices and 4 processes x 2
+devices — the same 8-device mesh factored differently, standing in for
+"multi-host pod slice" (SURVEY.md §7 step 6) without a cluster.
 """
 
 import os
@@ -22,13 +27,13 @@ from qkd_ldpc_tpu.sim.runner import run_point
 
 _WORKER = r"""
 import os, sys
+port, pid, nproc, local = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local}"
 import jax
 jax.config.update("jax_platforms", "cpu")
-port, pid = sys.argv[1], int(sys.argv[2])
-jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
-assert jax.device_count() == 8 and jax.local_device_count() == 4
+jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+assert jax.device_count() == nproc * local and jax.local_device_count() == local
 from qkd_ldpc_tpu.codes import make_code
 from qkd_ldpc_tpu.decoder import DecodeOptions
 from qkd_ldpc_tpu.parallel import make_trial_mesh, run_point_sharded
@@ -41,8 +46,7 @@ print(f"RESULT {p.n_trials} {p.n_sp} {p.n_ldpc} {p.sum_it} {p.sum_it2} "
 """
 
 
-@pytest.mark.slow
-def test_two_process_distributed_sweep_matches_single():
+def _run_distributed(n_procs: int, local_devices: int) -> list[list[str]]:
     with socket.socket() as s:  # pick a free coordinator port
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -50,10 +54,11 @@ def test_two_process_distributed_sweep_matches_single():
     env = {**os.environ, "PYTHONPATH": str(Path(__file__).resolve().parent.parent)}
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(port), str(i)],
+            [sys.executable, "-c", _WORKER, str(port), str(i),
+             str(n_procs), str(local_devices)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = [p.communicate(timeout=240) for p in procs]
     results = []
@@ -62,16 +67,33 @@ def test_two_process_distributed_sweep_matches_single():
         line = [l for l in out.splitlines() if l.startswith("RESULT")]
         assert line, out
         results.append(line[0].split()[1:])
+    return results
 
-    assert results[0] == results[1], "ranks disagree"
 
-    # Single-process ground truth (the determinism contract).
+def _expected_partials() -> list[str]:
     import jax
 
     code = make_code(n=256, m=131, dv=3, seed=1)
     p, _ = run_point(code, jax.random.PRNGKey(777), 0.03, trials=64, batch=64,
                      opts=DecodeOptions(max_iterations=40))
-    expected = [str(x) for x in
-                (p.n_trials, p.n_sp, p.n_ldpc, p.sum_it, p.sum_it2,
-                 p.min_it, p.max_it)]
-    assert results[0] == expected, (results[0], expected)
+    return [str(x) for x in
+            (p.n_trials, p.n_sp, p.n_ldpc, p.sum_it, p.sum_it2,
+             p.min_it, p.max_it)]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_sweep_matches_single():
+    results = _run_distributed(2, 4)
+    assert results[0] == results[1], "ranks disagree"
+    assert results[0] == _expected_partials(), results[0]
+
+
+@pytest.mark.slow
+def test_four_process_distributed_sweep_matches_single():
+    """Same 8-device mesh factored as 4 hosts x 2 devices: the chunk-scan
+    dispatch and the make_array_from_callback shard construction must
+    hold up when most shards are remote to each rank."""
+    results = _run_distributed(4, 2)
+    for r in results[1:]:
+        assert r == results[0], "ranks disagree"
+    assert results[0] == _expected_partials(), results[0]

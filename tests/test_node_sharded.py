@@ -77,12 +77,59 @@ def test_node_sharded_single_frame(johnson_code):
     np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
 
 
-def test_node_sharded_rejects_min_sum(medium_code):
-    mesh = make_mesh(n_trial=4, n_node=2)
-    opts = DecodeOptions(algorithm="min-sum")
-    _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=8, seed=1)
-    with pytest.raises(NotImplementedError):
-        decode_node_sharded(medium_code, llr, syn, opts, mesh)
+@pytest.mark.parametrize("n_node", [2, 8])
+def test_node_sharded_min_sum_bit_exact(medium_code, n_node):
+    """Min-sum's check reductions (min, integer sign counts) are exactly
+    associative, so the node-sharded decoder is BIT-IDENTICAL to the
+    single-chip kernel on any mesh — including the top-2 tie rule
+    (first occurrence of the row minimum in check-major slot order)."""
+    mesh = make_mesh(n_trial=8 // n_node, n_node=n_node)
+    opts = DecodeOptions(algorithm="min-sum", max_iterations=60)
+    _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=16, seed=5)
+
+    ref = decode(medium_code, llr, syn, opts)
+    out = decode_node_sharded(medium_code, llr, syn, opts, mesh)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.syndromes_match), np.asarray(ref.syndromes_match)
+    )
+    assert np.asarray(ref.syndromes_match).any()
+
+
+def test_node_sharded_min_sum_forced_tie(medium_code):
+    """Force |message| ties inside check rows (quantized LLRs) and check
+    the distributed tie rule still matches the single-chip kernel."""
+    mesh = make_mesh(n_trial=1, n_node=8)
+    opts = DecodeOptions(algorithm="min-sum", max_iterations=30)
+    _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=8, seed=11)
+    # Quantize to multiples of 0.25: many exact |Lq| collisions per row.
+    llr = jnp.round(llr * 4.0) / 4.0
+    ref = decode(medium_code, llr, syn, opts)
+    out = decode_node_sharded(medium_code, llr, syn, opts, mesh)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
+
+
+@pytest.mark.parametrize("algorithm", ["sum-product", "min-sum"])
+def test_node_sharded_bf16_messages(medium_code, algorithm):
+    """message_dtype='bfloat16' matches the single-chip bf16 decoder on the
+    node-sharded path (decisions + iteration counts)."""
+    mesh = make_mesh(n_trial=2, n_node=4)
+    opts = DecodeOptions(
+        algorithm=algorithm, max_iterations=60, message_dtype="bfloat16"
+    )
+    _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=16, seed=5)
+    ref = decode(medium_code, llr, syn, opts)
+    out = decode_node_sharded(medium_code, llr, syn, opts, mesh)
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
 
 
 def test_node_only_mesh(medium_code):

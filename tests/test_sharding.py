@@ -59,10 +59,74 @@ def test_sharded_ragged_tail(medium_code):
     """Trials not divisible by (batch x devices) still count exactly."""
     key = jax.random.fold_in(jax.random.PRNGKey(3), 1)
     mesh = make_trial_mesh()
-    # 50 trials, global batch 24 (rounds to 24; shards of 3) -> 3 launches.
+    # 50 trials, global batch 24 (rounds to 24; shards of 3): all batches
+    # scan-chain into ONE dispatch.
     p, _ = run_point_sharded(
         medium_code, key, 0.03, trials=50, batch=24, opts=OPTS, mesh=mesh
     )
     assert p.n_trials == 50
     p_ref, _ = run_point(medium_code, key, 0.03, trials=50, batch=50, opts=OPTS)
     assert p.n_sp == p_ref.n_sp and p.sum_it == p_ref.sum_it
+
+
+def test_sharded_point_single_dispatch(medium_code):
+    """A sweep point scan-chains its batches on device: one dispatch + one
+    scalar fetch per point, not one per batch (the multi-host dispatch
+    latency the single-chip runner amortizes, sim/runner.py)."""
+    from qkd_ldpc_tpu.parallel.mesh import replicated
+    from qkd_ldpc_tpu.parallel.sweep import (
+        _dispatch_point_sharded,
+        _make_trial_lane,
+    )
+
+    mesh = make_trial_mesh()
+    code_dev = jax.device_put(medium_code, replicated(mesh))
+    key = jax.device_put(jax.random.PRNGKey(5), replicated(mesh))
+    lane = _make_trial_lane(16, mesh)
+    # 10 batches of 16 trials -> exactly ONE queued chunk (future).
+    futures = _dispatch_point_sharded(
+        code_dev, key, lane, n_err=3, n_bits=medium_code.n_vars,
+        trials=160, batch=16, opts=OPTS, max_batches_per_dispatch=64,
+    )
+    assert len(futures) == 1
+    # Respect the dispatch cap: 10 batches at cap 4 -> ceil(10/4) = 3.
+    futures = _dispatch_point_sharded(
+        code_dev, key, lane, n_err=3, n_bits=medium_code.n_vars,
+        trials=160, batch=16, opts=OPTS, max_batches_per_dispatch=4,
+    )
+    assert len(futures) == 3
+
+
+def test_sharded_sweep_pipelined_matches_per_point(medium_code):
+    """run_sweep_sharded (pipelined points) returns exactly the per-point
+    results of run_point_sharded with the same keys."""
+    from qkd_ldpc_tpu.parallel import run_sweep_sharded
+
+    master = jax.random.PRNGKey(777)
+    mesh = make_trial_mesh()
+    qbers = [0.02, 0.03, 0.04]
+    swept = run_sweep_sharded(
+        medium_code, master, qbers, trials=40, batch=16, opts=OPTS, mesh=mesh
+    )
+    assert len(swept) == 3
+    for i, (p_sweep, q_sweep) in enumerate(swept):
+        key = jax.random.fold_in(master, i)
+        p_one, q_one = run_point_sharded(
+            medium_code, key, qbers[i], trials=40, batch=16,
+            opts=OPTS, mesh=mesh,
+        )
+        assert q_sweep == q_one
+        assert p_sweep == p_one
+
+
+def test_sharded_int32_stats_guard(medium_code):
+    """The sharded paths refuse batch x max_iter^2 combinations that would
+    silently wrap the int32 Σ iters² (same guard as the single-chip
+    runner's safe_batches bound)."""
+    mesh = make_trial_mesh()
+    opts = DecodeOptions(max_iterations=100_000)
+    with pytest.raises(ValueError, match="overflows the int32"):
+        run_point_sharded(
+            medium_code, jax.random.PRNGKey(0), 0.03, trials=8,
+            batch=8 * 215, opts=opts, mesh=mesh,
+        )
