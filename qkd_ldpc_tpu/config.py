@@ -82,6 +82,12 @@ class Config:
     decoder: str = "sum-product"  # "sum-product" | "min-sum"
     min_sum_alpha: float = 0.8  # normalization factor for min-sum
     batch_size: int = 0  # frames decoded per device step; 0 = auto
+    # QBER at/above which sweep points use continuation batching
+    # (sim.continuation: converged lanes refill with fresh trials, so the
+    # batch early-exit barrier stops taxing the waterfall's high iteration
+    # variance).  0.0 disables; statistics are bit-identical either way —
+    # this is purely a throughput crossover (benchmarks/waterfall.md).
+    continuation_qber: float = 0.0
     dtype: str = "float32"  # message dtype on device
     backend: str = "auto"  # check-update kernel: "auto" | "xla" | "pallas"
     checkpoint_dir: str = ""  # "" disables sweep checkpointing

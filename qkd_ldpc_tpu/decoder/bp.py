@@ -3,7 +3,7 @@
 TPU-native re-design of the reference's hot kernel
 (``sum_product_decoding_regular`` / ``_irregular``, reference
 ``src/qkd_ldpc_algorithm.cpp:3-345``).  Differences from the reference, all
-deliberate (see SURVEY.md §3.5 and §7):
+deliberate (see SURVEY.md §3.5/§7 and benchmarks/roofline.md):
 
 - **One code path** for regular and irregular codes: padded index tensors +
   masks instead of two hand-specialized scalar loops.
@@ -11,26 +11,31 @@ deliberate (see SURVEY.md §3.5 and §7):
   check-major and variable-major layouts with sequential cursor scatters
   (``check_pos_idx`` / ``bit_pos_idx``, qkd_ldpc_algorithm.cpp:56-72,
   128-139).  Here both directions are permutation *gathers* with
-  precomputed static index tensors (``LDPCCode.var_slot`` /
-  ``LDPCCode.chk_slot``) — vectorizable and shardable.
-- **Sign/log-magnitude leave-one-out** check update instead of the
-  reference's ``row_prod / tanh_j`` division (qkd_ldpc_algorithm.cpp:67),
-  which is numerically fragile in f32 (|Q| can exceed 1 by rounding and
-  NaN through atanh).  The log-magnitude form guarantees |Q| <= 1; exact
-  saturation (|Q| == 1 -> atanh = inf) is then clipped by the message
-  threshold exactly as the reference clips (threshold applied to
-  check-to-bit messages right after the check update, and to bit-to-check
-  messages after the bit update — call sites qkd_ldpc_algorithm.cpp:74-77,
+  precomputed static index tensors.
+- **dc-first edge layout** ``[dc_max, M, B]`` (round 2): slot index as a
+  static leading axis so every elementwise op is a native-tile 2-D
+  ``[M, B]`` array and row reductions are dc-1 elementwise adds — the
+  round-1 ``[M, dc, B]`` layout wasted 2/8 sublanes per vector register
+  (measured: 1.90 -> 1.21 ms/decode-iteration at B=512, kernel_lab2.py).
+- **Leave-one-out by prefix/suffix products** of tanh values — exact,
+  division-free (the reference's ``row_prod / tanh_j`` at
+  qkd_ldpc_algorithm.cpp:67 is numerically fragile), zero-safe, |loo| <= 1
+  by construction; saturation clips through the message threshold exactly
+  where the reference clips (call sites qkd_ldpc_algorithm.cpp:74-77,
   141-144).
-- **Batch ("frame") axis in lanes**: all loop state is laid out batch-LAST
-  (e.g. messages ``[M, dc_max, B]``) so that every message-routing gather
-  indexes the leading axes with static indices and moves 128-lane rows of
-  frames at once.
+- **Fused bit-node update**: the loop carries ``(tot_chk, Lr)`` instead of
+  the bit-to-check messages; ``Lq = clip(tot_chk - Lr)`` is recomputed
+  in-register inside the check kernel, so the bit update + clip + bf16
+  round never round-trips through HBM.  The first iteration is peeled so
+  its check inputs are the *unclipped* a-priori LLRs, exactly as the
+  reference initializes (qkd_ldpc_algorithm.cpp:10-18).
+- **Batch ("frame") axis in lanes**: batch-LAST layout so every routing
+  gather indexes leading axes with static indices and moves 128-lane rows
+  of frames at once.
 - **Early exit inside `lax.while_loop`** with per-frame convergence masks:
   frame b records ``iterations = it + 1`` on the iteration where its
   decision syndrome first equals the target (the reference's semantics at
-  qkd_ldpc_algorithm.cpp:105-126: decision + syndrome check happen *before*
-  the bit-node update, and a converged frame skips the bit update).
+  qkd_ldpc_algorithm.cpp:105-126).
 
 The decision rule is the reference's: ``total <= 0 -> bit = 1``
 (qkd_ldpc_algorithm.cpp:87-94).
@@ -45,8 +50,6 @@ import jax
 import jax.numpy as jnp
 
 from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode
-
-_TINY = 1e-30  # magnitude floor: keeps log finite; tanh==0 is pathological
 
 
 class DecodeResult(NamedTuple):
@@ -75,20 +78,17 @@ class DecodeOptions:
     message_threshold: float = 100.0  # SUM_PRODUCT_MSG_LLR_THRESHOLD
     algorithm: str = "sum-product"  # "sum-product" | "min-sum"
     min_sum_alpha: float = 0.8  # normalized min-sum scaling
-    # Storage dtype of the edge-message state.  "bfloat16" halves the HBM
-    # traffic of the decode loop (the TPU bottleneck); all transcendentals,
-    # row reductions, and totals still compute in float32, and only the
-    # per-edge messages round through bf16.  Hard-decision/iteration parity
-    # vs float32 is validated in
+    # Storage dtype of the edge-message state (Lr and the gathered totals).
+    # "bfloat16" halves the HBM traffic of the decode loop; all
+    # transcendentals and totals still compute in float32.  Hard-decision/
+    # iteration parity vs float32 is validated in
     # tests/test_decoder.py::test_bf16_messages_match_f32_decisions, and
     # the FER bias at the waterfall is quantified in benchmarks/.
     message_dtype: str = "float32"  # "float32" | "bfloat16"
     # Check-update implementation: "pallas" (hand-written VMEM-tiled
-    # kernel, decoder.pallas_kernels — measured ~24% faster end-to-end
-    # than the XLA lowering on TPU v5e, benchmarks/pallas_vs_xla.md),
-    # "xla" (fused jnp), or "auto" (pallas on TPU — both the sum-product
-    # and min-sum kernels exist — xla otherwise; pallas interpret mode on
-    # CPU is debug-only slow).
+    # kernels, decoder.pallas_kernels — both sum-product and min-sum),
+    # "xla" (fused jnp, same dc-first math), or "auto" (pallas on TPU,
+    # xla otherwise — pallas interpret mode on CPU is debug-only slow).
     backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     def __post_init__(self):
@@ -105,78 +105,202 @@ class DecodeOptions:
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _exclusive_cumprod(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(prefix, suffix) exclusive products along axis 0 (dc is small/static)."""
+    ones = jnp.ones_like(t[:1])
+    pre = jnp.concatenate([ones, jnp.cumprod(t[:-1], axis=0)], axis=0)
+    suf = jnp.concatenate(
+        [jnp.flip(jnp.cumprod(jnp.flip(t[1:], 0), axis=0), 0), ones], axis=0
+    )
+    return pre, suf
+
+
 def _check_update_sum_product(
     Lq: jax.Array, chk_mask: jax.Array, syn_sign: jax.Array
 ) -> jax.Array:
-    """Tanh-rule check-node update with syndrome sign, leave-one-out.
+    """Tanh-rule check-node update, leave-one-out by prefix/suffix products.
 
-    Lq: [M, dc, B] bit->check messages; syn_sign: [M, B] in {+1, -1}.
-    Returns check->bit messages in check-major layout, same shape.
+    Lq: [dc, M, B] bit->check messages (f32); chk_mask: [dc, M] bool;
+    syn_sign: [M, B] in {+1, -1}.  Returns check->bit messages, same shape.
+
+    loo_j = prod_{k != j} tanh(Lq_k / 2) carries the sign parity inside
+    the product; |loo| <= 1 by construction (factors have |t| <= 1, and a
+    rounded product of such factors cannot exceed 1), and
+    2 atanh(x) = log1p(2x / (1 - x)) handles signed x directly.
+    Saturation |loo| == 1 -> +/-inf is then clipped by the message
+    threshold exactly as the reference clips its atanh overflow
+    (qkd_ldpc_algorithm.cpp:74-77).
     """
-    t = jnp.tanh(Lq * 0.5)
-    t = jnp.where(chk_mask[:, :, None], t, 1.0)
-    mag = jnp.maximum(jnp.abs(t), _TINY)
-    logmag = jnp.log(mag)
-    neg = jnp.where(chk_mask[:, :, None], t < 0, False)
-
-    log_row = jnp.sum(logmag, axis=1, keepdims=True)  # [M, 1, B]
-    neg_row = jnp.sum(neg.astype(jnp.int32), axis=1, keepdims=True)
-
-    # Leave-one-out sign: total parity minus own sign bit.
-    loo_neg = (neg_row - neg.astype(jnp.int32)) & 1
-    sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn_sign[:, None, :]
-
-    # Leave-one-out magnitude q = exp(log_row - logmag), computed as
-    # exp(log_row) / mag: ONE exp per check row instead of one per edge
-    # (transcendentals dominate the VPU cost of this kernel).  Nearest
-    # rounding keeps log_row <= every logmag (a float sum of non-positives
-    # never rounds above any single term), so mathematically q <= 1; the
-    # division can still land at 1 + ulp, hence the explicit cap — q == 1
-    # yields +inf, which the message threshold clips exactly as the
-    # reference clips its atanh overflow (qkd_ldpc_algorithm.cpp:74-77).
-    q = jnp.minimum(jnp.exp(log_row) / mag, 1.0)
-    # 2*atanh(q) = log1p(2q / (1-q)): one log1p instead of two.
-    lr = sign * jnp.log1p(2.0 * q / (1.0 - q))
-    return lr
+    t = jnp.where(chk_mask[:, :, None], jnp.tanh(Lq * 0.5), 1.0)
+    pre, suf = _exclusive_cumprod(t)
+    x = pre * suf * syn_sign[None]
+    return jnp.log1p(2.0 * x / (1.0 - x))
 
 
 def _check_update_min_sum(
     Lq: jax.Array, chk_mask: jax.Array, syn_sign: jax.Array, alpha: float
 ) -> jax.Array:
-    """Normalized min-sum check-node update (fast approximate variant).
+    """Normalized min-sum check-node update ([dc, M, B] layout).
 
-    Leave-one-out min via the top-2 minima trick; the scaling factor
-    ``alpha`` compensates min-sum's overestimate of |message|.
+    Leave-one-out min via the top-2 minima; the excluded edge is the
+    FIRST occurrence of the row minimum in slot order (``argmin`` axis-0
+    semantics), matching the Pallas kernel and the node-sharded decoder.
     """
+    dc = Lq.shape[0]
     mask3 = chk_mask[:, :, None]
     absL = jnp.where(mask3, jnp.abs(Lq), jnp.inf)
-    neg = jnp.where(mask3, Lq < 0, False)
+    neg = jnp.where(mask3, (Lq < 0).astype(jnp.int32), 0)
 
-    min1 = jnp.min(absL, axis=1, keepdims=True)  # [M, 1, B]
-    is_min1 = absL == min1
-    # Mask the *first* occurrence of the minimum to get the second minimum;
-    # cumulative trick keeps ties correct (second min == min1 then).
-    first_min1 = jnp.cumsum(is_min1.astype(jnp.int32), axis=1) * is_min1 == 1
-    absL2 = jnp.where(first_min1, jnp.inf, absL)
-    min2 = jnp.min(absL2, axis=1, keepdims=True)
+    min1 = jnp.min(absL, axis=0)  # [M, B]
+    s1 = jnp.argmin(absL, axis=0).astype(jnp.int32)  # first occurrence
+    slot = jnp.arange(dc, dtype=jnp.int32)[:, None, None]
+    is_first = slot == s1[None]
+    min2 = jnp.min(jnp.where(is_first, jnp.inf, absL), axis=0)
+    loo_min = jnp.where(is_first, min2[None], min1[None])
 
-    loo_min = jnp.where(first_min1, min2, min1)
-    neg_row = jnp.sum(neg.astype(jnp.int32), axis=1, keepdims=True)
-    loo_neg = (neg_row - neg.astype(jnp.int32)) & 1
-    sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn_sign[:, None, :]
+    neg_row = jnp.sum(neg, axis=0)
+    loo_neg = (neg_row[None] - neg) & 1
+    sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn_sign[None]
     return alpha * sign * loo_min
 
 
-def _route(flat: jax.Array, slots: jax.Array, out_rows: int, out_cols: int) -> jax.Array:
-    """Gather flat [S, B] messages through a permutation map with sentinel.
+def dc_first_maps(code: LDPCCode) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """dc-first static index tensors, derived from the code's canonical
+    fields (a [N, dv]-sized integer pass — negligible next to one decode
+    iteration).  var_slot stores flat check-major slots c*dc + j
+    (sentinel M*dc); the dc-first flat layout is j*M + c.
 
-    ``flat`` is the flattened source layout with batch last; a zero row is
-    appended so sentinel-padded slots read a neutral 0.
+    Returns (chk_adj_T [dc, M], chk_mask_T [dc, M] bool,
+    var_slot_T [dv, N] -> flat [dc*M] index with sentinel dc*M).
     """
-    padded = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0)
-    return jnp.take(padded, slots.reshape(-1), axis=0).reshape(
-        out_rows, out_cols, flat.shape[1]
-    )
+    M, dc = code.n_checks, code.dc_max
+    chk_adj_T = jnp.asarray(code.chk_adj).T
+    chk_mask_T = jnp.asarray(code.chk_mask).T
+    vs = jnp.asarray(code.var_slot)
+    vmask = jnp.asarray(code.var_mask)
+    var_slot_T = jnp.where(
+        vmask, (vs % dc) * M + jnp.minimum(vs // dc, M - 1), M * dc
+    ).T
+    return chk_adj_T, chk_mask_T, var_slot_T
+
+
+class _DecodeCore:
+    """Shared pieces of the dc-first decode iteration, parameterized over
+    the per-batch tensors so both the plain loop and the continuation
+    runner (sim.continuation) compose them."""
+
+    def __init__(self, code: LDPCCode, opts: DecodeOptions, dtype, B: int):
+        self.code, self.opts, self.dtype, self.B = code, opts, dtype, B
+        self.N, self.M = code.n_vars, code.n_checks
+        self.dv, self.dc = code.dv_max, code.dc_max
+        self.backend = opts.resolve_backend()
+        self.interpret = jax.default_backend() != "tpu"
+        self.mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
+        self.chk_adj_T, self.chk_mask_T, self.var_slot_T = dc_first_maps(code)
+        self.threshold = jnp.asarray(opts.message_threshold, dtype)
+
+    def clip_msgs(self, x):
+        if self.opts.clip_messages:
+            return jnp.clip(x, -self.threshold, self.threshold)
+        return x
+
+    def gather_chk(self, x):
+        """[N, B] -> [dc, M, B] via the check adjacency."""
+        return jnp.take(x, self.chk_adj_T.reshape(-1), axis=0).reshape(
+            self.dc, self.M, self.B
+        )
+
+    def check_update_first(self, Lq, syn_sign):
+        """Iteration-1 check update on the (unclipped) a-priori gathers."""
+        opts = self.opts
+        if self.backend == "pallas":
+            from qkd_ldpc_tpu.decoder.pallas_kernels import check_update_pallas
+
+            return check_update_pallas(
+                Lq, self.chk_mask_T.astype(jnp.int32),
+                syn_sign.astype(jnp.float32),
+                threshold=opts.message_threshold, clip=opts.clip_messages,
+                interpret=self.interpret, algorithm=opts.algorithm,
+                min_sum_alpha=opts.min_sum_alpha,
+            )
+        Lq_f = Lq.astype(self.dtype)
+        if opts.algorithm == "min-sum":
+            lr = _check_update_min_sum(
+                Lq_f, self.chk_mask_T, syn_sign, opts.min_sum_alpha
+            )
+        else:
+            lr = _check_update_sum_product(Lq_f, self.chk_mask_T, syn_sign)
+        return self.clip_msgs(lr).astype(self.mdt)
+
+    def check_update_fused(self, tot_chk, Lr_prev, syn_sign, fresh=None):
+        """Bit-node update (Lq = clip(tot - Lr), in-register) + check update.
+
+        ``fresh`` ([B] bool, optional) marks lanes whose (tot, Lr=0) state
+        encodes a FIRST iteration: their recomputed Lq skips the clip, so a
+        fresh lane's trajectory is identical to the peeled first iteration
+        (the a-priori LLRs are never clipped, qkd_ldpc_algorithm.cpp:10-18).
+        Used by the continuation runner, where refilled lanes restart
+        mid-batch.
+        """
+        opts = self.opts
+        if self.backend == "pallas":
+            from qkd_ldpc_tpu.decoder.pallas_kernels import (
+                fused_update_fresh_pallas,
+                fused_update_pallas,
+            )
+
+            kw = dict(
+                threshold=opts.message_threshold, clip=opts.clip_messages,
+                interpret=self.interpret, algorithm=opts.algorithm,
+                min_sum_alpha=opts.min_sum_alpha,
+            )
+            mask_i32 = self.chk_mask_T.astype(jnp.int32)
+            syn_f = syn_sign.astype(jnp.float32)
+            if fresh is None:
+                return fused_update_pallas(tot_chk, Lr_prev, mask_i32, syn_f, **kw)
+            return fused_update_fresh_pallas(
+                tot_chk, Lr_prev, mask_i32, syn_f,
+                fresh[None, :].astype(jnp.int32), **kw
+            )
+        Lq_raw = tot_chk.astype(self.dtype) - Lr_prev.astype(self.dtype)
+        Lq = self.clip_msgs(Lq_raw)
+        if fresh is not None:
+            Lq = jnp.where(fresh[None, None, :], Lq_raw, Lq)
+        if opts.algorithm == "min-sum":
+            lr = _check_update_min_sum(
+                Lq, self.chk_mask_T, syn_sign, opts.min_sum_alpha
+            )
+        else:
+            lr = _check_update_sum_product(Lq, self.chk_mask_T, syn_sign)
+        return self.clip_msgs(lr).astype(self.mdt)
+
+    def after_check(self, Lr, llr, syndrome):
+        """Route -> totals -> decision -> decision syndrome -> gathered totals.
+
+        Decisions and the syndrome derive from the SAME message-dtype-
+        rounded totals (z on the variable side, parities on the gathered
+        check side), so they are exactly consistent.
+        """
+        dc, M, dv, N, B = self.dc, self.M, self.dv, self.N, self.B
+        flat = jnp.concatenate(
+            [Lr.reshape(dc * M, B), jnp.zeros((1, B), Lr.dtype)], axis=0
+        )
+        Lr_var = jnp.take(flat, self.var_slot_T.reshape(-1), axis=0).reshape(dv, N, B)
+        total = (llr + jnp.sum(Lr_var.astype(self.dtype), axis=0)).astype(self.mdt)
+        z = (total <= 0).astype(jnp.int8)  # total <= 0 -> bit 1
+        tot_chk = self.gather_chk(total)
+        z_chk = jnp.where(
+            self.chk_mask_T[:, :, None], (tot_chk <= 0).astype(jnp.int32), 0
+        )
+        syn_hat = jnp.sum(z_chk, axis=0) & 1
+        ok = jnp.all(syn_hat == syndrome, axis=0)  # [B]
+        return tot_chk, z, ok
+
+    def first_state(self, llr):
+        """(tot_chk0, Lr0) encoding 'iteration 1 pending' for every lane."""
+        tot0 = self.gather_chk(llr.astype(self.mdt))
+        Lr0 = jnp.zeros((self.dc, self.M, self.B), self.mdt)
+        return tot0, Lr0
 
 
 def bp_decode_batch_last(
@@ -186,91 +310,48 @@ def bp_decode_batch_last(
     opts: DecodeOptions,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Core batched decode loop; returns (z [N,B] int8, iters [B], ok [B])."""
-    N, M = code.n_vars, code.n_checks
-    dv, dc = code.dv_max, code.dc_max
     B = llr.shape[1]
-    dtype = llr.dtype
-    backend = opts.resolve_backend()
-    # Storage dtype of the big per-edge tensors; compute stays in `dtype`.
-    mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
-
-    chk_adj = jnp.asarray(code.chk_adj)
-    chk_mask = jnp.asarray(code.chk_mask)
-    var_slot = jnp.asarray(code.var_slot)
-
+    core = _DecodeCore(code, opts, llr.dtype, B)
     syndrome = syndrome.astype(jnp.int32)
-    syn_sign = jnp.where(syndrome == 1, -1.0, 1.0).astype(dtype)  # [M, B]
-    threshold = jnp.asarray(opts.message_threshold, dtype)
+    syn_sign = jnp.where(syndrome == 1, -1.0, 1.0).astype(llr.dtype)  # [M, B]
 
-    # Message initialization: Lq[c, j] = llr[chk_adj[c, j]]
-    # (reference qkd_ldpc_algorithm.cpp:10-18).
-    Lq0 = jnp.take(llr, chk_adj.reshape(-1), axis=0).reshape(M, dc, B).astype(mdt)
+    def check_update_first(Lq):
+        return core.check_update_first(Lq, syn_sign)
 
-    def clip_msgs(x):
-        if opts.clip_messages:
-            return jnp.clip(x, -threshold, threshold)
-        return x
+    def check_update_fused(tot_chk, Lr_prev):
+        return core.check_update_fused(tot_chk, Lr_prev, syn_sign)
+
+    def after_check(Lr):
+        return core.after_check(Lr, llr, syndrome)
+
+    # ---- peeled iteration 1: check inputs are the raw a-priori LLRs
+    # (never clipped — reference qkd_ldpc_algorithm.cpp:10-18).
+    Lq0 = core.gather_chk(llr.astype(core.mdt))
+    Lr1 = check_update_first(Lq0)
+    tot1, z1, ok1 = after_check(Lr1)
+    init = (
+        tot1, Lr1, z1,
+        jnp.ones((B,), jnp.int32),  # every frame ran iteration 1
+        ok1,
+        jnp.asarray(1, jnp.int32),
+    )
 
     def body(carry):
-        Lq, z_out, iters, done, it = carry
-
-        # (1) check-node update, check-major layout (compute in f32)
-        if backend == "pallas":
-            from qkd_ldpc_tpu.decoder.pallas_kernels import check_update_pallas
-
-            Lr_chk = check_update_pallas(
-                Lq, chk_mask.astype(jnp.int32), syn_sign,
-                threshold=opts.message_threshold, clip=opts.clip_messages,
-                interpret=jax.default_backend() != "tpu",
-                algorithm=opts.algorithm, min_sum_alpha=opts.min_sum_alpha,
-            )
-        else:
-            Lq_f = Lq.astype(dtype)
-            if opts.algorithm == "min-sum":
-                Lr_chk = _check_update_min_sum(
-                    Lq_f, chk_mask, syn_sign, opts.min_sum_alpha
-                )
-            else:
-                Lr_chk = _check_update_sum_product(Lq_f, chk_mask, syn_sign)
-            Lr_chk = clip_msgs(Lr_chk).astype(mdt)
-
-        # (2) route check->bit messages to variable-major layout
-        Lr_var = _route(Lr_chk.reshape(M * dc, B), var_slot, N, dv)
-
-        # (3) totals + hard decision (total <= 0 -> 1)
-        total = llr + jnp.sum(Lr_var.astype(dtype), axis=1)  # [N, B]
-        z = (total <= 0).astype(jnp.int8)
-
-        # (4+5) one gather of totals into check-major slots serves BOTH the
-        # decision syndrome and the bit-node update: the extrinsic message
-        # on edge (c, j) with variable v is total[v] - Lr_var[v, k(c,j)]
-        # == total[chk_adj[c,j]] - Lr_chk[c,j] (same edge, two layouts) —
-        # so the second routing gather of the naive formulation cancels.
-        tot_chk = jnp.take(total, chk_adj.reshape(-1), axis=0).reshape(M, dc, B)
-        z_chk = jnp.where(chk_mask[:, :, None], (tot_chk <= 0).astype(jnp.int32), 0)
-        syn_hat = jnp.sum(z_chk, axis=1) & 1
-        ok = jnp.all(syn_hat == syndrome, axis=0)  # [B]
+        tot_chk, Lr, z_out, iters, done, it = carry
+        Lr_new = check_update_fused(tot_chk, Lr)
+        tot_new, z, ok = after_check(Lr_new)
 
         active = jnp.logical_not(done)
         z_out = jnp.where(active[None, :], z, z_out)
         iters = jnp.where(active, it + 1, iters)
         done = jnp.logical_or(done, ok)
-
-        Lq_new = clip_msgs(tot_chk - Lr_chk.astype(dtype)).astype(mdt)
-        return Lq_new, z_out, iters, done, it + 1
+        return tot_new, Lr_new, z_out, iters, done, it + 1
 
     def cond(carry):
-        _, _, _, done, it = carry
+        *_, done, it = carry
         return jnp.logical_and(it < opts.max_iterations, ~jnp.all(done))
 
-    init = (
-        Lq0,
-        jnp.zeros((N, B), jnp.int8),
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), bool),
-        jnp.asarray(0, jnp.int32),
-    )
-    _, z_out, iters, done, _ = jax.lax.while_loop(cond, body, init)
+    *_, z_out, iters, done, _ = jax.lax.while_loop(cond, body, init)
 
     # Frames that never converged report max_iterations, as the reference
     # returns {max_num_iterations, false} (qkd_ldpc_algorithm.cpp:172).

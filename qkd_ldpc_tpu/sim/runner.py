@@ -250,6 +250,41 @@ def _collect_point(futures: list) -> PointPartials:
     return total
 
 
+def _dispatch_point_continuation(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    segment: int = 4,
+    refill_frac: float = 0.25,
+) -> tuple[list, float]:
+    """Continuation-batching dispatch (waterfall points): one jitted
+    program banks all trials of the point, refilling converged lanes
+    (sim.continuation).  Returns the same (futures, actual_qber) shape as
+    :func:`_dispatch_point`, so the sweep pipeline treats both alike."""
+    from qkd_ldpc_tpu.sim.continuation import _continuation_point
+
+    n_err = num_errors_for(code.n_vars, qber)
+    if n_err == 0:
+        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+    mi2 = max(opts.max_iterations, 1) ** 2
+    if trials * mi2 > 2**31 - 1:
+        raise ValueError(
+            f"trials ({trials}) x max_iterations^2 ({opts.max_iterations}^2) "
+            "overflows the int32 iteration statistics accumulated on device; "
+            "lower continuation_qber or trials_number"
+        )
+    want = max(1, int(batch * refill_frac))
+    refill_min = next(d for d in range(want, 0, -1) if batch % d == 0)
+    future = _continuation_point(
+        code, point_key, jnp.asarray(n_err, jnp.int32),
+        jnp.asarray(trials, jnp.int32), batch, segment, refill_min, opts,
+    )
+    return [future], n_err / code.n_vars
+
+
 def run_point(
     code: LDPCCode,
     point_key: jax.Array,
@@ -404,9 +439,14 @@ def batch_simulation(
                 continue
 
             point_key = jax.random.fold_in(master, sim_number)
-            futures, actual_qber = _dispatch_point(
-                code_dev, point_key, qber, cfg.trials_number, batch, opts
-            )
+            if cfg.continuation_qber > 0 and qber >= cfg.continuation_qber:
+                futures, actual_qber = _dispatch_point_continuation(
+                    code_dev, point_key, qber, cfg.trials_number, batch, opts
+                )
+            else:
+                futures, actual_qber = _dispatch_point(
+                    code_dev, point_key, qber, cfg.trials_number, batch, opts
+                )
             pending.append((sim_number, si, actual_qber, futures))
             if len(pending) > 1:  # keep one point in flight
                 _flush_one()

@@ -35,12 +35,14 @@ BASELINE = {
 }
 
 
-def main(trials: int = 1000, batch: int = 250) -> None:
-    if os.path.exists(REFERENCE_ALIST):
+def main(trials: int = 1000, batch: int = 250, generated: bool = False) -> None:
+    if os.path.exists(REFERENCE_ALIST) and not generated:
         code = read_alist(REFERENCE_ALIST)
     else:
-        code = make_code(n=10240, m=5231, dv=3, seed=666)
-        print("note: reference alist absent; using generated same-profile code")
+        code = make_code(n=10240, m=5231, dv=3, seed=666, name="flagship-n10240")
+        print("generated same-profile code (benchmarks/parity_generated.md "
+              "pins its curve; a different random code of the same ensemble, "
+              "so FER is close to but not identical with the reference's)")
     opts = DecodeOptions(max_iterations=100, clip_messages=True,
                          message_threshold=100.0)
     print(f"{'QBER':>6} {'FER':>6} {'refFER':>7} {'iters':>7} {'refIt':>6} "
@@ -62,4 +64,12 @@ def main(trials: int = 1000, batch: int = 250) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=250)
+    ap.add_argument("--generated", action="store_true",
+                    help="force the generated same-profile code")
+    a = ap.parse_args()
+    main(a.trials, a.batch, a.generated)

@@ -1,0 +1,105 @@
+"""Continuation batching vs the plain runner: BIT-IDENTICAL statistics.
+
+The continuation runner (sim.continuation) refills converged lanes with
+fresh trials mid-batch; the determinism contract requires every trial's
+trajectory and the banked statistics to be exactly those of the plain
+runner, for any (batch, segment, refill) configuration.
+"""
+
+import jax
+import pytest
+
+from qkd_ldpc_tpu.codes import make_code
+from qkd_ldpc_tpu.decoder import DecodeOptions
+from qkd_ldpc_tpu.sim.continuation import run_point_continuation
+from qkd_ldpc_tpu.sim.runner import run_point
+
+
+@pytest.fixture(scope="module")
+def wf_code():
+    # R~0.49 code small enough for CPU; QBER 0.07-0.08 sits in its
+    # waterfall at a 30-iteration cap, so trials both converge and fail.
+    return make_code(n=1024, m=523, dv=3, seed=3, name="wf-1024")
+
+
+def _assert_equal(p1, p2):
+    assert (p1.n_trials, p1.n_sp, p1.n_ldpc, p1.sum_it, p1.sum_it2,
+            p1.min_it, p1.max_it) == \
+           (p2.n_trials, p2.n_sp, p2.n_ldpc, p2.sum_it, p2.sum_it2,
+            p2.min_it, p2.max_it), (p1, p2)
+
+
+@pytest.mark.parametrize("qber,max_it", [(0.075, 30), (0.03, 40)])
+def test_continuation_matches_plain_runner(wf_code, qber, max_it):
+    """Mixed converging/failing trials, multiple refill generations per
+    lane (trials >> batch), ragged tail (trials not a batch multiple)."""
+    opts = DecodeOptions(max_iterations=max_it)
+    key = jax.random.fold_in(jax.random.PRNGKey(777), 5)
+    p1, q1 = run_point(wf_code, key, qber, trials=70, batch=70, opts=opts)
+    p2, q2 = run_point_continuation(
+        wf_code, key, qber, trials=70, batch=16, opts=opts,
+        segment=3, refill_frac=0.25,
+    )
+    assert q1 == q2
+    _assert_equal(p1, p2)
+    assert p2.n_trials == 70
+
+
+def test_continuation_fresh_lane_clip_semantics(wf_code):
+    """Tight message threshold (< |a-priori LLR|): a refilled lane's first
+    check update must see the UNCLIPPED a-priori LLRs, exactly like the
+    peeled first iteration of the plain decoder (reference never clips
+    the initial messages, qkd_ldpc_algorithm.cpp:10-18)."""
+    # threshold 3.0 < |llr| = log(0.98/0.02) = 3.89: the clip bites the
+    # a-priori LLRs, so a wrongly-clipped first iteration would diverge.
+    opts = DecodeOptions(max_iterations=30, message_threshold=3.0)
+    key = jax.random.fold_in(jax.random.PRNGKey(3), 1)
+    p1, _ = run_point(wf_code, key, 0.02, trials=40, batch=40, opts=opts)
+    p2, _ = run_point_continuation(
+        wf_code, key, 0.02, trials=40, batch=8, opts=opts, segment=2,
+    )
+    assert p1.n_sp > 0  # meaningful case: trials actually converge
+    _assert_equal(p1, p2)
+
+    # and the n_sp == 0 corner (threshold 2.5 at QBER 0.05 kills
+    # convergence entirely): partials still compare bit-equal.
+    opts0 = DecodeOptions(max_iterations=20, message_threshold=2.5)
+    p3, _ = run_point(wf_code, key, 0.05, trials=20, batch=20, opts=opts0)
+    p4, _ = run_point_continuation(
+        wf_code, key, 0.05, trials=20, batch=8, opts=opts0, segment=4,
+    )
+    assert p3.n_sp == 0
+    _assert_equal(p3, p4)
+
+
+@pytest.mark.parametrize("opts", [
+    DecodeOptions(max_iterations=30, algorithm="min-sum"),
+    DecodeOptions(max_iterations=30, message_dtype="bfloat16"),
+])
+def test_continuation_variants(wf_code, opts):
+    key = jax.random.fold_in(jax.random.PRNGKey(9), 2)
+    p1, _ = run_point(wf_code, key, 0.06, trials=30, batch=30, opts=opts)
+    p2, _ = run_point_continuation(
+        wf_code, key, 0.06, trials=30, batch=10, opts=opts, segment=4,
+    )
+    _assert_equal(p1, p2)
+
+
+def test_continuation_single_generation(wf_code):
+    """trials <= batch: one generation, no refill after the first."""
+    opts = DecodeOptions(max_iterations=25)
+    key = jax.random.fold_in(jax.random.PRNGKey(4), 0)
+    p1, _ = run_point(wf_code, key, 0.05, trials=12, batch=12, opts=opts)
+    p2, _ = run_point_continuation(
+        wf_code, key, 0.05, trials=12, batch=32, opts=opts, segment=5,
+    )
+    _assert_equal(p1, p2)
+
+
+def test_continuation_overflow_guard(wf_code):
+    opts = DecodeOptions(max_iterations=100_000)
+    with pytest.raises(ValueError, match="overflows the int32"):
+        run_point_continuation(
+            wf_code, jax.random.PRNGKey(0), 0.05, trials=1000, batch=8,
+            opts=opts,
+        )
