@@ -88,6 +88,11 @@ class Config:
     # variance).  0.0 disables; statistics are bit-identical either way —
     # this is purely a throughput crossover (benchmarks/waterfall.md).
     continuation_qber: float = 0.0
+    # Shard the trial grid over ALL visible devices (trial-axis mesh)
+    # when more than one is present.  Results are bit-identical to
+    # single-device runs (the determinism contract); disable to pin a
+    # sweep to the default device.
+    use_mesh: bool = True
     dtype: str = "float32"  # message dtype on device
     backend: str = "auto"  # check-update kernel: "auto" | "xla" | "pallas"
     checkpoint_dir: str = ""  # "" disables sweep checkpointing
@@ -117,6 +122,10 @@ class Config:
             raise ValueError(f"Unknown decoder algorithm: {self.decoder!r}")
         if self.batch_size < 0:
             raise ValueError("batch_size must be >= 0 (0 = auto)")
+        if not (0.0 <= self.continuation_qber < 1.0):
+            raise ValueError(
+                "continuation_qber must be in [0, 1) (0 disables)"
+            )
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"Unsupported message dtype: {self.dtype!r}")
         if self.backend not in ("auto", "xla", "pallas"):
@@ -176,6 +185,8 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
         decoder=str(raw.get("decoder", "sum-product")),
         min_sum_alpha=float(raw.get("min_sum_alpha", 0.8)),
         batch_size=int(raw.get("batch_size", 0)),
+        continuation_qber=float(raw.get("continuation_qber", 0.0)),
+        use_mesh=bool(raw.get("use_mesh", True)),
         dtype=str(raw.get("dtype", "float32")),
         backend=str(raw.get("backend", "auto")),
         checkpoint_dir=str(raw.get("checkpoint_dir", "")),

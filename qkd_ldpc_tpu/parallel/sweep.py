@@ -178,6 +178,41 @@ def _make_trial_lane(batch: int, mesh: Mesh) -> jax.Array:
     )
 
 
+def make_point_dispatcher(
+    code: LDPCCode,
+    batch: int,
+    opts: DecodeOptions,
+    mesh: Mesh,
+    max_batches_per_dispatch: int = 64,
+):
+    """Bind a mesh-replicated code + trial lane once and return
+    ``dispatch(point_key, qber, trials) -> (futures, actual_qber)`` — the
+    sharded analog of ``sim.runner._dispatch_point``, so
+    ``batch_simulation`` can pipeline points over all devices with the
+    same futures protocol it uses single-chip.
+
+    ``batch`` is per-device; the global batch is ``batch x trial-axis``.
+    """
+    n_shards = mesh.shape[TRIAL_AXIS]
+    gbatch = batch * n_shards
+    repl = replicated(mesh)
+    code_dev = jax.device_put(code, repl)
+    trial_lane = _make_trial_lane(gbatch, mesh)
+
+    def dispatch(point_key: jax.Array, qber: float, trials: int):
+        n_err = num_errors_for(code.n_vars, qber)
+        if n_err == 0:
+            raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+        futures = _dispatch_point_sharded(
+            code_dev, jax.device_put(point_key, repl), trial_lane,
+            n_err, code.n_vars, trials, gbatch, opts,
+            max_batches_per_dispatch,
+        )
+        return futures, n_err / code.n_vars
+
+    return dispatch
+
+
 def run_point_sharded(
     code: LDPCCode,
     point_key: jax.Array,

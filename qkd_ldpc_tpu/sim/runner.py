@@ -402,6 +402,21 @@ def batch_simulation(
     done = _load_checkpoint(ckpt_path)
     master = jax.random.PRNGKey(cfg.simulation_seed)
 
+    # Multi-device hosts shard the trial grid over ALL devices
+    # automatically (pure DP over a `trial` mesh; results bit-identical
+    # to single-device by the determinism contract — tests/test_sharding).
+    mesh = None
+    if cfg.use_mesh and jax.device_count() > 1:
+        from qkd_ldpc_tpu.parallel.mesh import make_trial_mesh
+
+        mesh = make_trial_mesh()
+        if cfg.continuation_qber > 0:
+            print(
+                "note: continuation batching is single-device; waterfall "
+                "points use the sharded plain runner on this "
+                f"{jax.device_count()}-device mesh instead."
+            )
+
     total_trials = sum(len(si.qber) for si in sim_inputs) * cfg.trials_number
     bar = ProgressBar(total_trials, enabled=progress)
 
@@ -430,7 +445,14 @@ def batch_simulation(
     sim_number = 0
     for si in sim_inputs:
         batch = auto_batch_size(cfg, si.code)
-        code_dev = si.code.to_device()  # upload adjacency once per matrix
+        if mesh is not None:
+            from qkd_ldpc_tpu.parallel.sweep import make_point_dispatcher
+
+            mesh_dispatch = make_point_dispatcher(si.code, batch, opts, mesh)
+            code_dev = None
+        else:
+            mesh_dispatch = None
+            code_dev = si.code.to_device()  # upload adjacency once per matrix
         for qber in si.qber:
             if sim_number in done:
                 results[sim_number] = SimResult(**done[sim_number]["result"])
@@ -439,7 +461,11 @@ def batch_simulation(
                 continue
 
             point_key = jax.random.fold_in(master, sim_number)
-            if cfg.continuation_qber > 0 and qber >= cfg.continuation_qber:
+            if mesh_dispatch is not None:
+                futures, actual_qber = mesh_dispatch(
+                    point_key, qber, cfg.trials_number
+                )
+            elif cfg.continuation_qber > 0 and qber >= cfg.continuation_qber:
                 futures, actual_qber = _dispatch_point_continuation(
                     code_dev, point_key, qber, cfg.trials_number, batch, opts
                 )

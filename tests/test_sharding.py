@@ -119,6 +119,31 @@ def test_sharded_sweep_pipelined_matches_per_point(medium_code):
         assert p_sweep == p_one
 
 
+def test_batch_simulation_mesh_matches_single_device(medium_code):
+    """batch_simulation auto-shards over all devices (use_mesh=True, the
+    default); results must be bit-identical to the pinned single-device
+    path (use_mesh=False)."""
+    import dataclasses
+
+    from qkd_ldpc_tpu.config import Config, RQBERParams
+    from qkd_ldpc_tpu.sim.runner import SimInput, batch_simulation
+
+    cfg = Config(
+        trials_number=30, simulation_seed=7, sum_product_max_iterations=40,
+        batch_size=8,
+        r_qber_parameters=(RQBERParams(0.99, 0.02, 0.051, 0.015),),
+    ).validate()
+    si = [SimInput(code=medium_code, matrix_filename="m.alist",
+                   qber=[0.02, 0.035, 0.05])]
+    res_mesh = batch_simulation(si, cfg, progress=False)
+    res_single = batch_simulation(
+        si, dataclasses.replace(cfg, use_mesh=False), progress=False
+    )
+    assert len(res_mesh) == 3
+    for a, b in zip(res_mesh, res_single):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+
+
 def test_sharded_int32_stats_guard(medium_code):
     """The sharded paths refuse batch x max_iter^2 combinations that would
     silently wrap the int32 Σ iters² (same guard as the single-chip
