@@ -126,7 +126,7 @@ class Config:
             raise ValueError(
                 "continuation_qber must be in [0, 1) (0 disables)"
             )
-        if self.dtype not in ("float32", "bfloat16"):
+        if self.dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"Unsupported message dtype: {self.dtype!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"Unsupported decoder backend: {self.backend!r}")

@@ -84,7 +84,14 @@ class DecodeOptions:
     # iteration parity vs float32 is validated in
     # tests/test_decoder.py::test_bf16_messages_match_f32_decisions, and
     # the FER bias at the waterfall is quantified in benchmarks/.
-    message_dtype: str = "float32"  # "float32" | "bfloat16"
+    # "int8" stores messages as uniformly quantized fixed-point
+    # (int8_scale LLR units per LSB, saturating at +-127*scale — the
+    # classic 8-bit hardware-LDPC operating point), quartering the f32
+    # traffic; FER impact is measured in benchmarks/int8.md.
+    message_dtype: str = "float32"  # "float32" | "bfloat16" | "int8"
+    # LLR units per int8 LSB (range +-31.75 at the 0.25 default).  Only
+    # used when message_dtype == "int8".
+    int8_scale: float = 0.25
     # Check-update implementation: "pallas" (hand-written VMEM-tiled
     # kernels, decoder.pallas_kernels — both sum-product and min-sum),
     # "xla" (fused jnp, same dc-first math), or "auto" (pallas on TPU,
@@ -94,8 +101,10 @@ class DecodeOptions:
     def __post_init__(self):
         if self.algorithm not in ("sum-product", "min-sum"):
             raise ValueError(f"Unknown algorithm {self.algorithm!r}")
-        if self.message_dtype not in ("float32", "bfloat16"):
+        if self.message_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"Unknown message_dtype {self.message_dtype!r}")
+        if self.message_dtype == "int8" and self.int8_scale <= 0:
+            raise ValueError("int8_scale must be > 0")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"Unknown backend {self.backend!r}")
 
@@ -195,7 +204,13 @@ class _DecodeCore:
         self.dv, self.dc = code.dv_max, code.dc_max
         self.backend = opts.resolve_backend()
         self.interpret = jax.default_backend() != "tpu"
-        self.mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
+        if opts.message_dtype == "bfloat16":
+            self.mdt = jnp.bfloat16
+        elif opts.message_dtype == "int8":
+            self.mdt = jnp.int8
+        else:
+            self.mdt = dtype
+        self.scale = opts.int8_scale if opts.message_dtype == "int8" else None
         self.chk_adj_T, self.chk_mask_T, self.var_slot_T = dc_first_maps(code)
         self.threshold = jnp.asarray(opts.message_threshold, dtype)
 
@@ -203,6 +218,19 @@ class _DecodeCore:
         if self.opts.clip_messages:
             return jnp.clip(x, -self.threshold, self.threshold)
         return x
+
+    def to_storage(self, x):
+        """Float compute value -> message storage dtype."""
+        if self.scale is None:
+            return x.astype(self.mdt)
+        q = jnp.clip(jnp.round(x / self.scale), -127.0, 127.0)
+        return q.astype(jnp.int8)
+
+    def from_storage(self, q):
+        """Message storage dtype -> float compute value."""
+        if self.scale is None:
+            return q.astype(self.dtype)
+        return q.astype(self.dtype) * self.scale
 
     def gather_chk(self, x):
         """[N, B] -> [dc, M, B] via the check adjacency."""
@@ -221,16 +249,16 @@ class _DecodeCore:
                 syn_sign.astype(jnp.float32),
                 threshold=opts.message_threshold, clip=opts.clip_messages,
                 interpret=self.interpret, algorithm=opts.algorithm,
-                min_sum_alpha=opts.min_sum_alpha,
+                min_sum_alpha=opts.min_sum_alpha, scale=self.scale,
             )
-        Lq_f = Lq.astype(self.dtype)
+        Lq_f = self.from_storage(Lq)
         if opts.algorithm == "min-sum":
             lr = _check_update_min_sum(
                 Lq_f, self.chk_mask_T, syn_sign, opts.min_sum_alpha
             )
         else:
             lr = _check_update_sum_product(Lq_f, self.chk_mask_T, syn_sign)
-        return self.clip_msgs(lr).astype(self.mdt)
+        return self.to_storage(self.clip_msgs(lr))
 
     def check_update_fused(self, tot_chk, Lr_prev, syn_sign, fresh=None):
         """Bit-node update (Lq = clip(tot - Lr), in-register) + check update.
@@ -256,13 +284,14 @@ class _DecodeCore:
             )
             mask_i32 = self.chk_mask_T.astype(jnp.int32)
             syn_f = syn_sign.astype(jnp.float32)
+            kw["scale"] = self.scale
             if fresh is None:
                 return fused_update_pallas(tot_chk, Lr_prev, mask_i32, syn_f, **kw)
             return fused_update_fresh_pallas(
                 tot_chk, Lr_prev, mask_i32, syn_f,
                 fresh[None, :].astype(jnp.int32), **kw
             )
-        Lq_raw = tot_chk.astype(self.dtype) - Lr_prev.astype(self.dtype)
+        Lq_raw = self.from_storage(tot_chk) - self.from_storage(Lr_prev)
         Lq = self.clip_msgs(Lq_raw)
         if fresh is not None:
             Lq = jnp.where(fresh[None, None, :], Lq_raw, Lq)
@@ -272,7 +301,7 @@ class _DecodeCore:
             )
         else:
             lr = _check_update_sum_product(Lq, self.chk_mask_T, syn_sign)
-        return self.clip_msgs(lr).astype(self.mdt)
+        return self.to_storage(self.clip_msgs(lr))
 
     def after_check(self, Lr, llr, syndrome):
         """Route -> totals -> decision -> decision syndrome -> gathered totals.
@@ -286,7 +315,7 @@ class _DecodeCore:
             [Lr.reshape(dc * M, B), jnp.zeros((1, B), Lr.dtype)], axis=0
         )
         Lr_var = jnp.take(flat, self.var_slot_T.reshape(-1), axis=0).reshape(dv, N, B)
-        total = (llr + jnp.sum(Lr_var.astype(self.dtype), axis=0)).astype(self.mdt)
+        total = self.to_storage(llr + jnp.sum(self.from_storage(Lr_var), axis=0))
         z = (total <= 0).astype(jnp.int8)  # total <= 0 -> bit 1
         tot_chk = self.gather_chk(total)
         z_chk = jnp.where(
@@ -298,7 +327,7 @@ class _DecodeCore:
 
     def first_state(self, llr):
         """(tot_chk0, Lr0) encoding 'iteration 1 pending' for every lane."""
-        tot0 = self.gather_chk(llr.astype(self.mdt))
+        tot0 = self.gather_chk(self.to_storage(llr))
         Lr0 = jnp.zeros((self.dc, self.M, self.B), self.mdt)
         return tot0, Lr0
 
@@ -326,7 +355,7 @@ def bp_decode_batch_last(
 
     # ---- peeled iteration 1: check inputs are the raw a-priori LLRs
     # (never clipped — reference qkd_ldpc_algorithm.cpp:10-18).
-    Lq0 = core.gather_chk(llr.astype(core.mdt))
+    Lq0 = core.gather_chk(core.to_storage(llr))
     Lr1 = check_update_first(Lq0)
     tot1, z1, ok1 = after_check(Lr1)
     init = (

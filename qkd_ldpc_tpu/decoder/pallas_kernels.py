@@ -104,29 +104,44 @@ def _ms_messages(lq, masks, syn, threshold, clip, alpha):
     return out
 
 
+def _load(ref, j, scale):
+    """Storage -> f32 (int8 fixed-point dequantizes by `scale`)."""
+    x = ref[j].astype(jnp.float32)
+    return x * scale if scale is not None else x
+
+
+def _store(ref, j, x, scale):
+    """f32 -> storage (int8 saturating fixed-point when `scale` set)."""
+    if scale is not None:
+        q = jnp.clip(jnp.round(x * (1.0 / scale)), -127.0, 127.0)
+        ref[j] = q.astype(ref.dtype)
+    else:
+        ref[j] = x.astype(ref.dtype)
+
+
 def _check_kernel(lq_ref, mask_ref, syn_ref, lr_ref, *, threshold, clip,
-                  dc, algorithm, alpha):
+                  dc, algorithm, alpha, scale):
     """First-iteration check update: Lq (unclipped a-priori gathers) in."""
     syn = syn_ref[:]
     masks = [mask_ref[j][:, None] != 0 for j in range(dc)]
-    lq = [lq_ref[j].astype(jnp.float32) for j in range(dc)]
+    lq = [_load(lq_ref, j, scale) for j in range(dc)]
     if algorithm == "min-sum":
         out = _ms_messages(lq, masks, syn, threshold, clip, alpha)
     else:
         t = [jnp.where(masks[j], jnp.tanh(lq[j] * 0.5), 1.0) for j in range(dc)]
         out = _sp_messages(t, syn, threshold, clip)
     for j in range(dc):
-        lr_ref[j] = out[j].astype(lr_ref.dtype)
+        _store(lr_ref, j, out[j], scale)
 
 
 def _fused_kernel(tot_ref, lrp_ref, mask_ref, syn_ref, lr_ref, *, threshold,
-                  clip, dc, algorithm, alpha):
+                  clip, dc, algorithm, alpha, scale):
     """Fused bit-node + check update: Lq = clip(tot_chk - Lr_prev) in-register."""
     syn = syn_ref[:]
     masks = [mask_ref[j][:, None] != 0 for j in range(dc)]
     lq = []
     for j in range(dc):
-        v = tot_ref[j].astype(jnp.float32) - lrp_ref[j].astype(jnp.float32)
+        v = _load(tot_ref, j, scale) - _load(lrp_ref, j, scale)
         if clip:
             v = jnp.clip(v, -threshold, threshold)
         lq.append(v)
@@ -136,7 +151,7 @@ def _fused_kernel(tot_ref, lrp_ref, mask_ref, syn_ref, lr_ref, *, threshold,
         t = [jnp.where(masks[j], jnp.tanh(lq[j] * 0.5), 1.0) for j in range(dc)]
         out = _sp_messages(t, syn, threshold, clip)
     for j in range(dc):
-        lr_ref[j] = out[j].astype(lr_ref.dtype)
+        _store(lr_ref, j, out[j], scale)
 
 
 def _specs(dc, bm, bb, n_edge_tensors):
@@ -170,7 +185,8 @@ def _auto_block_m(block_m, dc, bb, itemsize, n_edge_io):
 
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
-                                   "interpret", "algorithm", "min_sum_alpha"))
+                                   "interpret", "algorithm", "min_sum_alpha",
+                                   "scale"))
 def check_update_pallas(
     Lq: jax.Array,  # [dc, M, B] messages, dc-first, batch last
     chk_mask_i32: jax.Array,  # [dc, M] int32
@@ -182,13 +198,14 @@ def check_update_pallas(
     interpret: bool = False,
     algorithm: str = "sum-product",
     min_sum_alpha: float = 0.8,
+    scale: float | None = None,  # int8 fixed-point LSB (None = float storage)
 ) -> jax.Array:
     """First-iteration check update as a Pallas TPU kernel ([dc, M, B])."""
     dc, M, B = Lq.shape
     bb = min(block_b, B)
     bm = min(_auto_block_m(block_m, dc, bb, Lq.dtype.itemsize, 2), M)
     kernel = partial(_check_kernel, threshold=threshold, clip=clip, dc=dc,
-                     algorithm=algorithm, alpha=min_sum_alpha)
+                     algorithm=algorithm, alpha=min_sum_alpha, scale=scale)
     in_specs, out_spec = _specs(dc, bm, bb, 1)
     return pl.pallas_call(
         kernel,
@@ -201,7 +218,8 @@ def check_update_pallas(
 
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
-                                   "interpret", "algorithm", "min_sum_alpha"))
+                                   "interpret", "algorithm", "min_sum_alpha",
+                                   "scale"))
 def fused_update_pallas(
     tot_chk: jax.Array,  # [dc, M, B] gathered totals (message dtype)
     Lr_prev: jax.Array,  # [dc, M, B] previous check->bit messages
@@ -214,13 +232,14 @@ def fused_update_pallas(
     interpret: bool = False,
     algorithm: str = "sum-product",
     min_sum_alpha: float = 0.8,
+    scale: float | None = None,  # int8 fixed-point LSB (None = float storage)
 ) -> jax.Array:
     """Fused bit-node update + check update ([dc, M, B] -> [dc, M, B])."""
     dc, M, B = Lr_prev.shape
     bb = min(block_b, B)
     bm = min(_auto_block_m(block_m, dc, bb, Lr_prev.dtype.itemsize, 3), M)
     kernel = partial(_fused_kernel, threshold=threshold, clip=clip, dc=dc,
-                     algorithm=algorithm, alpha=min_sum_alpha)
+                     algorithm=algorithm, alpha=min_sum_alpha, scale=scale)
     in_specs, out_spec = _specs(dc, bm, bb, 2)
     return pl.pallas_call(
         kernel,
@@ -233,7 +252,8 @@ def fused_update_pallas(
 
 
 def _fused_kernel_fresh(tot_ref, lrp_ref, fresh_ref, mask_ref, syn_ref,
-                        lr_ref, *, threshold, clip, dc, algorithm, alpha):
+                        lr_ref, *, threshold, clip, dc, algorithm, alpha,
+                        scale):
     """Fused update with a per-lane 'fresh' flag ([1, Bt] int32): fresh
     lanes skip the clip on the recomputed Lq — their (tot, Lr=0) state
     encodes a FIRST iteration, whose check inputs are the raw (never
@@ -243,7 +263,7 @@ def _fused_kernel_fresh(tot_ref, lrp_ref, fresh_ref, mask_ref, syn_ref,
     masks = [mask_ref[j][:, None] != 0 for j in range(dc)]
     lq = []
     for j in range(dc):
-        raw = tot_ref[j].astype(jnp.float32) - lrp_ref[j].astype(jnp.float32)
+        raw = _load(tot_ref, j, scale) - _load(lrp_ref, j, scale)
         if clip:
             v = jnp.where(fresh, raw, jnp.clip(raw, -threshold, threshold))
         else:
@@ -255,11 +275,12 @@ def _fused_kernel_fresh(tot_ref, lrp_ref, fresh_ref, mask_ref, syn_ref,
         t = [jnp.where(masks[j], jnp.tanh(lq[j] * 0.5), 1.0) for j in range(dc)]
         out = _sp_messages(t, syn, threshold, clip)
     for j in range(dc):
-        lr_ref[j] = out[j].astype(lr_ref.dtype)
+        _store(lr_ref, j, out[j], scale)
 
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
-                                   "interpret", "algorithm", "min_sum_alpha"))
+                                   "interpret", "algorithm", "min_sum_alpha",
+                                   "scale"))
 def fused_update_fresh_pallas(
     tot_chk: jax.Array,  # [dc, M, B]
     Lr_prev: jax.Array,  # [dc, M, B]
@@ -273,13 +294,15 @@ def fused_update_fresh_pallas(
     interpret: bool = False,
     algorithm: str = "sum-product",
     min_sum_alpha: float = 0.8,
+    scale: float | None = None,  # int8 fixed-point LSB (None = float storage)
 ) -> jax.Array:
     """Fused update with per-lane restart semantics (continuation runner)."""
     dc, M, B = Lr_prev.shape
     bb = min(block_b, B)
     bm = min(_auto_block_m(block_m, dc, bb, Lr_prev.dtype.itemsize, 3), M)
     kernel = partial(_fused_kernel_fresh, threshold=threshold, clip=clip,
-                     dc=dc, algorithm=algorithm, alpha=min_sum_alpha)
+                     dc=dc, algorithm=algorithm, alpha=min_sum_alpha,
+                     scale=scale)
     edge = pl.BlockSpec((dc, bm, bb), lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -92,7 +92,13 @@ def bp_decode_node_sharded(
     dtype = llr.dtype
     # Storage dtype of the carried edge messages (decoder.bp's
     # message_dtype contract): compute stays in `dtype`, only the carried
-    # Lq rounds through bf16.
+    # Lq rounds through bf16.  int8 fixed-point storage is a single-chip
+    # fast mode (decoder.bp) — its quantization points differ from this
+    # decoder's var-major carry, so refusing beats a silent mismatch.
+    if opts.message_dtype == "int8":
+        raise NotImplementedError(
+            "node-sharded decoding supports float32/bfloat16 messages"
+        )
     mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
 
     var_adj = jnp.asarray(code.var_adj)

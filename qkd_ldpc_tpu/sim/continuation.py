@@ -131,7 +131,7 @@ def _continuation_point(
         syn_new = slice_s(syn_s)
         alice_new = slice_s(alice_s)
         tot_new = jnp.take(
-            llr_new.astype(mdt), core.chk_adj_T.reshape(-1), axis=0
+            core.to_storage(llr_new), core.chk_adj_T.reshape(-1), axis=0
         ).reshape(code.dc_max, M, K)
 
         inv = jnp.full((batch,), K, jnp.int32).at[idx].set(

@@ -35,7 +35,8 @@ BASELINE = {
 }
 
 
-def main(trials: int = 1000, batch: int = 250, generated: bool = False) -> None:
+def main(trials: int = 1000, batch: int = 250, generated: bool = False,
+         dtype: str = "float32") -> None:
     if os.path.exists(REFERENCE_ALIST) and not generated:
         code = read_alist(REFERENCE_ALIST)
     else:
@@ -44,7 +45,7 @@ def main(trials: int = 1000, batch: int = 250, generated: bool = False) -> None:
               "pins its curve; a different random code of the same ensemble, "
               "so FER is close to but not identical with the reference's)")
     opts = DecodeOptions(max_iterations=100, clip_messages=True,
-                         message_threshold=100.0)
+                         message_threshold=100.0, message_dtype=dtype)
     print(f"{'QBER':>6} {'FER':>6} {'refFER':>7} {'iters':>7} {'refIt':>6} "
           f"{'min-max':>9} {'time':>6}")
     for i, (q, (rf, ri)) in enumerate(BASELINE.items()):
@@ -71,5 +72,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=250)
     ap.add_argument("--generated", action="store_true",
                     help="force the generated same-profile code")
+    ap.add_argument("--dtype", default="float32",
+                    help="message_dtype: float32 | bfloat16 | int8")
     a = ap.parse_args()
-    main(a.trials, a.batch, a.generated)
+    main(a.trials, a.batch, a.generated, a.dtype)

@@ -75,6 +75,7 @@ def test_continuation_fresh_lane_clip_semantics(wf_code):
 @pytest.mark.parametrize("opts", [
     DecodeOptions(max_iterations=30, algorithm="min-sum"),
     DecodeOptions(max_iterations=30, message_dtype="bfloat16"),
+    DecodeOptions(max_iterations=30, message_dtype="int8"),
 ])
 def test_continuation_variants(wf_code, opts):
     key = jax.random.fold_in(jax.random.PRNGKey(9), 2)

@@ -259,6 +259,52 @@ def test_pallas_min_sum_matches_xla(medium_code):
     )
 
 
+def test_int8_messages_close_to_f32(medium_code):
+    """int8 fixed-point message storage (0.25 LSB): decode trajectories
+    quantize but plateau behavior must match f32 (all frames converge,
+    keys match, iteration counts within quantization jitter)."""
+    import jax.numpy as jnp
+
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    n_err = num_errors_for(medium_code.n_vars, 0.03)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(3), medium_code.n_vars, 16,
+        jnp.asarray(n_err, jnp.int32),
+    )
+    q = n_err / medium_code.n_vars
+    r32 = reconcile(medium_code, alice, bob, q, DecodeOptions(max_iterations=60))
+    r8 = reconcile(
+        medium_code, alice, bob, q,
+        DecodeOptions(max_iterations=60, message_dtype="int8"),
+    )
+    assert np.asarray(r8.syndromes_match).all()
+    assert np.asarray(r8.keys_match).all()
+    d = np.abs(np.asarray(r8.iterations) - np.asarray(r32.iterations))
+    assert d.max() <= 3, d
+
+    # exact determinism: the quantized path is still bit-reproducible
+    r8b = reconcile(
+        medium_code, alice, bob, q,
+        DecodeOptions(max_iterations=60, message_dtype="int8"),
+    )
+    np.testing.assert_array_equal(np.asarray(r8.bits), np.asarray(r8b.bits))
+    np.testing.assert_array_equal(
+        np.asarray(r8.iterations), np.asarray(r8b.iterations)
+    )
+
+
+def test_int8_rejected_on_node_sharded(medium_code):
+    from qkd_ldpc_tpu.parallel import decode_node_sharded, make_mesh
+
+    opts = DecodeOptions(message_dtype="int8")
+    llr = jnp.ones((4, medium_code.n_vars), jnp.float32)
+    syn = jnp.zeros((4, medium_code.n_checks), jnp.int8)
+    with pytest.raises(NotImplementedError):
+        decode_node_sharded(medium_code, llr, syn, opts, make_mesh(n_trial=4, n_node=2))
+
+
 def test_tight_message_threshold_matches_oracle(medium_code):
     """A small clip threshold changes decode trajectories; the TPU decoder
     must track the f64 oracle's clip placement exactly (reference clips
