@@ -30,7 +30,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from qkd_ldpc_tpu.channel.keys import make_trials_from_ids, num_errors_for
 from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode
