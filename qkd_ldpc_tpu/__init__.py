@@ -12,6 +12,7 @@ C++ reference simulator ColdCloudd/QKD_LDPC (see SURVEY.md):
 - mesh / sharded sweeps / node-sharded decoding       -> `qkd_ldpc_tpu.parallel`
 - QBER sweep planning, stats, CSV, checkpointing,
   interactive mode, console tracing                   -> `qkd_ldpc_tpu.sim`
+- production serving endpoint (Alice/Bob roles)       -> `qkd_ldpc_tpu.serve`
 
 Unlike the reference (one process, a CPU thread pool over trials,
 scalar C++ loops over graph edges), everything here is expressed as pure
@@ -27,6 +28,7 @@ from qkd_ldpc_tpu.decoder import (
     reconcile,
     syndrome,
 )
+from qkd_ldpc_tpu.serve import Reconciler, ServeResult
 
 __version__ = "0.1.0"
 
@@ -38,6 +40,8 @@ __all__ = [
     "read_dense",
     "load_code",
     "DecodeResult",
+    "Reconciler",
+    "ServeResult",
     "decode",
     "reconcile",
     "syndrome",

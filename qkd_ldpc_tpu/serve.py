@@ -1,0 +1,168 @@
+"""Production serving wrapper for the reconciliation step.
+
+The simulation stack (sim/) plays both Alice and Bob; a deployed QKD
+post-processing node is ONE side of the protocol with a network boundary
+in between (the reference scopes this exactly at its function boundary,
+``QKD_LDPC_regular``, src/qkd_ldpc_algorithm.cpp:347-396 — see
+decoder/reconcile.py).  This module packages that boundary as a
+long-lived object with a serving-shaped contract:
+
+- **One compile, any request size**: the decode program is compiled once
+  for a fixed lane count; requests are padded (and chunked) to it, so a
+  stream of ragged request sizes never recompiles.  QBER is a traced
+  argument — channel-estimate updates don't recompile either.
+- **Host-friendly IO**: NumPy in, NumPy out, one device round-trip per
+  chunk.
+- **Both roles**: `syndromes()` is Alice's side (compute the syndromes
+  to transmit); `reconcile()` is Bob's (correct the noisy key toward the
+  received syndromes).  `leak_bits` reports the information disclosed
+  per frame (M syndrome bits — the standard reconciliation leakage
+  accounting before privacy amplification).
+
+Example::
+
+    rec = Reconciler(code, DecodeOptions(message_dtype="bfloat16"))
+    rec.warmup()                        # optional: pay the compile now
+    syn = rec.syndromes(alice_bits)     # Alice -> (classical channel)
+    out = rec.reconcile(bob_bits, syn, qber=0.04)   # Bob
+    corrected, ok = out.bits, out.syndromes_match
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode
+from qkd_ldpc_tpu.decoder.bp import DecodeOptions, bp_decode_batch_last
+from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
+
+
+class ServeResult(NamedTuple):
+    """Host-side reconciliation outcome (NumPy)."""
+
+    bits: np.ndarray  # [n, N] uint8 corrected key
+    iterations: np.ndarray  # [n] int32
+    syndromes_match: np.ndarray  # [n] bool — verify before using the key!
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _serve_step(code, bob, syn, qber, opts):
+    llr = apriori_llr(bob, qber)
+    z, iters, ok = bp_decode_batch_last(
+        code, llr.T, syn.T.astype(jnp.int8), opts
+    )
+    return z.T.astype(jnp.uint8), iters, ok
+
+
+@jax.jit
+def _syndrome_step(code, bits):
+    return syndrome_fn(code, bits)
+
+
+class Reconciler:
+    """Long-lived reconciliation endpoint bound to one code + options.
+
+    ``lanes`` is the compiled batch width; requests of any size are
+    padded/chunked to it.  Latency/throughput trade-off: small lanes for
+    low latency, large for throughput (measured: benchmarks/serving.md).
+    """
+
+    def __init__(
+        self,
+        code: LDPCCode,
+        opts: DecodeOptions = DecodeOptions(),
+        lanes: int = 128,
+    ):
+        if lanes < 1:
+            raise ValueError("lanes must be >= 1")
+        self.code = code.to_device()
+        self.opts = opts
+        self.lanes = lanes
+
+    @property
+    def frame_bits(self) -> int:
+        return self.code.n_vars
+
+    @property
+    def syndrome_bits(self) -> int:
+        return self.code.n_checks
+
+    @property
+    def leak_bits(self) -> int:
+        """Information disclosed per frame (syndrome bits), for the
+        privacy-amplification budget."""
+        return self.code.n_checks
+
+    def warmup(self) -> "Reconciler":
+        """Compile both directions now (first call is otherwise slow)."""
+        bob = np.zeros((1, self.frame_bits), np.uint8)
+        syn = self.syndromes(bob)
+        self.reconcile(bob, syn, qber=0.01)
+        return self
+
+    def syndromes(self, bits) -> np.ndarray:
+        """Alice side: syndromes [n, M] of key frames [n, N] (or [N])."""
+        arr = np.asarray(bits, np.uint8)
+        single = arr.ndim == 1
+        if single:
+            arr = arr[None]
+        if arr.shape[-1] != self.frame_bits:
+            raise ValueError(
+                f"expected {self.frame_bits}-bit frames, got {arr.shape[-1]}"
+            )
+        out = np.asarray(_syndrome_step(self.code, jnp.asarray(arr)))
+        return out[0] if single else out
+
+    def reconcile(self, bob_bits, alice_syndromes, qber: float) -> ServeResult:
+        """Bob side: correct noisy frames toward received syndromes.
+
+        ``syndromes_match[i]`` False means frame i did NOT verify — it
+        must be discarded (or retried at a lower rate), never used as key
+        material.
+        """
+        bob = np.asarray(bob_bits, np.uint8)
+        syn = np.asarray(alice_syndromes)
+        single = bob.ndim == 1
+        if single:
+            bob, syn = bob[None], syn[None]
+        if bob.shape[-1] != self.frame_bits:
+            raise ValueError(
+                f"expected {self.frame_bits}-bit frames, got {bob.shape[-1]}"
+            )
+        if syn.shape != (bob.shape[0], self.syndrome_bits):
+            raise ValueError(
+                f"expected syndromes [{bob.shape[0]}, {self.syndrome_bits}], "
+                f"got {syn.shape}"
+            )
+        if not (0.0 < qber < 1.0):
+            raise ValueError("qber must be in (0, 1)")
+
+        n = bob.shape[0]
+        bits = np.empty((n, self.frame_bits), np.uint8)
+        iters = np.empty((n,), np.int32)
+        ok = np.empty((n,), bool)
+        q = jnp.asarray(qber, jnp.float32)
+        for off in range(0, n, self.lanes):
+            chunk = min(self.lanes, n - off)
+            pad = self.lanes - chunk
+            b = np.pad(bob[off:off + chunk], ((0, pad), (0, 0)))
+            s = np.pad(syn[off:off + chunk], ((0, pad), (0, 0)))
+            z, it, okd = _serve_step(
+                self.code, jnp.asarray(b), jnp.asarray(s), q, self.opts
+            )
+            # one blocking fetch per chunk
+            z, it, okd = np.asarray(z), np.asarray(it), np.asarray(okd)
+            bits[off:off + chunk] = z[:chunk]
+            iters[off:off + chunk] = it[:chunk]
+            ok[off:off + chunk] = okd[:chunk]
+        res = ServeResult(bits=bits, iterations=iters, syndromes_match=ok)
+        if single:
+            res = ServeResult(res.bits[0], res.iterations[0],
+                              res.syndromes_match[0])
+        return res

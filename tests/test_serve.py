@@ -1,0 +1,78 @@
+"""Serving wrapper (qkd_ldpc_tpu.serve.Reconciler) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+from qkd_ldpc_tpu.decoder import DecodeOptions
+from qkd_ldpc_tpu.decoder.reconcile import reconcile
+from qkd_ldpc_tpu.serve import Reconciler
+
+
+def _trials(code, qber, n, seed=7):
+    n_err = num_errors_for(code.n_vars, qber)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(seed), code.n_vars, n, jnp.asarray(n_err, jnp.int32)
+    )
+    return np.asarray(alice), np.asarray(bob), n_err / code.n_vars
+
+
+def test_reconciler_matches_library_path(medium_code):
+    """Serving results == the library reconcile() on the same frames,
+    including across chunk boundaries (request 2.5x the lane count)."""
+    opts = DecodeOptions(max_iterations=60)
+    rec = Reconciler(medium_code, opts, lanes=8).warmup()
+    alice, bob, q = _trials(medium_code, 0.03, 20)
+
+    syn = rec.syndromes(alice)
+    out = rec.reconcile(bob, syn, qber=q)
+    ref = reconcile(medium_code, alice, bob, q, opts)
+
+    np.testing.assert_array_equal(out.bits, np.asarray(ref.bits).astype(np.uint8))
+    np.testing.assert_array_equal(out.iterations, np.asarray(ref.iterations))
+    np.testing.assert_array_equal(
+        out.syndromes_match, np.asarray(ref.syndromes_match)
+    )
+    assert out.syndromes_match.all()
+    np.testing.assert_array_equal(out.bits, alice)  # corrected to Alice's key
+
+
+def test_reconciler_padding_independence(medium_code):
+    """A frame decodes identically whether it arrives alone or in a padded
+    chunk (lane padding must not leak into real lanes)."""
+    rec = Reconciler(medium_code, DecodeOptions(max_iterations=60), lanes=16)
+    alice, bob, q = _trials(medium_code, 0.03, 5, seed=3)
+    syn = rec.syndromes(alice)
+    all_out = rec.reconcile(bob, syn, qber=q)
+    one = rec.reconcile(bob[2], syn[2], qber=q)
+    np.testing.assert_array_equal(one.bits, all_out.bits[2])
+    assert int(one.iterations) == int(all_out.iterations[2])
+
+
+def test_reconciler_failure_is_flagged(medium_code):
+    """Deep-waterfall frames must come back with syndromes_match False."""
+    rec = Reconciler(medium_code, DecodeOptions(max_iterations=15), lanes=8)
+    alice, bob, q = _trials(medium_code, 0.12, 8, seed=1)
+    out = rec.reconcile(bob, rec.syndromes(alice), qber=q)
+    assert not out.syndromes_match.all()
+    # failed frames report the iteration cap, as the protocol result does
+    assert (out.iterations[~out.syndromes_match] == 15).all()
+
+
+def test_reconciler_validation(medium_code):
+    rec = Reconciler(medium_code)
+    good = np.zeros((2, medium_code.n_vars), np.uint8)
+    syn = np.zeros((2, medium_code.n_checks), np.uint8)
+    with pytest.raises(ValueError, match="frames"):
+        rec.reconcile(good[:, :-1], syn, qber=0.03)
+    with pytest.raises(ValueError, match="syndromes"):
+        rec.reconcile(good, syn[:1], qber=0.03)
+    with pytest.raises(ValueError, match="qber"):
+        rec.reconcile(good, syn, qber=0.0)
+    with pytest.raises(ValueError, match="frames"):
+        rec.syndromes(good[:, :-1])
+    with pytest.raises(ValueError, match="lanes"):
+        Reconciler(medium_code, lanes=0)
+    assert rec.leak_bits == medium_code.n_checks
