@@ -85,12 +85,14 @@ def main() -> None:
     opts = DecodeOptions(
         max_iterations=100, clip_messages=True, message_threshold=100.0,
         algorithm=os.environ.get("BENCH_ALG", "sum-product"),
-        # bf16 message storage (f32 compute): FER and per-trial iteration
-        # counts validated identical to f32 across the full QBER sweep
-        # (PARITY.md); ~2x less HBM traffic in the decode loop.
+        # bf16 message storage (f32 compute): waterfall FER bias measured
+        # below Monte-Carlo resolution at 10^4 paired trials/point
+        # (PARITY.md); halves the decode loop's HBM traffic.  "int8" is
+        # also accepted (benchmarks/int8.md: slower here, quarter state).
         message_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-        # "auto" resolves to the Pallas check-update kernel on TPU
-        # (benchmarks/pallas_vs_xla.md: +24% end-to-end vs the XLA chain).
+        # "auto" resolves to the fused dc-first Pallas kernels on TPU
+        # (benchmarks/pallas_vs_xla.md: 1.74x end-to-end vs the XLA
+        # lowering of the same algorithm).
         backend=os.environ.get("BENCH_BACKEND", "auto"),
     )
     batch = int(os.environ.get("BENCH_BATCH", "512"))

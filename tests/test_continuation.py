@@ -104,3 +104,32 @@ def test_continuation_overflow_guard(wf_code):
             wf_code, jax.random.PRNGKey(0), 0.05, trials=1000, batch=8,
             opts=opts,
         )
+
+
+def test_continuation_randomized_config_fuzz(wf_code):
+    """Randomized (trials, batch, segment, refill, qber, algorithm, dtype)
+    configurations must all reproduce the plain runner's statistics
+    exactly — the continuation machinery has no tunable that may change
+    results."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    for trial in range(6):
+        trials = int(rng.integers(5, 60))
+        batch = int(rng.integers(4, 24))
+        segment = int(rng.integers(1, 7))
+        refill_frac = float(rng.uniform(0.1, 0.9))
+        qber = float(rng.choice([0.02, 0.05, 0.075]))
+        opts = DecodeOptions(
+            max_iterations=int(rng.integers(5, 35)),
+            algorithm=str(rng.choice(["sum-product", "min-sum"])),
+            message_dtype=str(rng.choice(["float32", "bfloat16"])),
+        )
+        key = jax.random.fold_in(jax.random.PRNGKey(99), trial)
+        p1, _ = run_point(wf_code, key, qber, trials=trials, batch=trials,
+                          opts=opts)
+        p2, _ = run_point_continuation(
+            wf_code, key, qber, trials=trials, batch=batch, opts=opts,
+            segment=segment, refill_frac=refill_frac,
+        )
+        assert p1 == p2, (trials, batch, segment, refill_frac, qber, opts)
