@@ -16,6 +16,7 @@ from qkd_ldpc_tpu.decoder.oracle import (
     oracle_reconcile,
     oracle_syndrome,
 )
+from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
 from qkd_ldpc_tpu.decoder.reconcile import (
     ReconcileResult,
     apriori_llr,
@@ -31,6 +32,7 @@ __all__ = [
     "bp_decode_batch_last",
     "syndrome",
     "apriori_llr",
+    "RateAdapter",
     "reconcile",
     "reconcile_with_syndrome",
     "ReconcileResult",

@@ -1,0 +1,150 @@
+"""Blind reconciliation: interactive rate adaptation without a QBER estimate.
+
+The rate-adapted protocol (decoder/rate_adapt.py) picks (p, s) from an
+estimated QBER up front.  BLIND reconciliation (Martinez-Mateo, Elkouss,
+Martin, "Blind reconciliation", QIC 2012) removes the estimate: start
+with all d modulated positions PUNCTURED (the highest rate), and on
+decode failure Alice progressively REVEALS punctured bits — converting
+them into shortened (known) positions — until Bob's decode verifies or
+the budget is exhausted.  Frames on good channels finish in round 0 and
+leak only ``M − d`` bits; bad frames pay reveals as they go.  Leakage is
+therefore adaptive per frame with no channel estimation round at all:
+
+    leak_i = M − d + 2·r_i·step ... conservatively accounted here as
+    ``M − d + 2·revealed_i`` (each revealed bit both discloses its value
+    and unlocks the syndrome equation it was shielding; the standard
+    accounting in the blind-reconciliation literature).
+
+The decoder is reused unchanged; each round is one batched decode with
+updated LLRs, and frames that already verified are frozen (their keys
+and leakage stop changing — masked, exactly like the batch runner's
+early-exit bookkeeping).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode
+from qkd_ldpc_tpu.decoder.bp import DecodeOptions, decode
+from qkd_ldpc_tpu.decoder.rate_adapt import _KNOWN_LLR, RateAdapter
+from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+
+
+class BlindResult(NamedTuple):
+    key: np.ndarray  # [B, l] uint8 corrected payload
+    ok: np.ndarray  # [B] bool — verified frames (use ONLY these)
+    rounds: np.ndarray  # [B] int32 — reveal rounds consumed per frame
+    leak_bits: np.ndarray  # [B] int32 — per-frame disclosure
+    iterations: np.ndarray  # [B] int32 — decode iterations of the final round
+
+
+def blind_reconcile(
+    adapter: RateAdapter,
+    bob_payload,  # [B, l] Bob's noisy payload bits
+    alice_syndromes,  # [B, M]
+    reveal: Callable[[np.ndarray], np.ndarray],
+    qber_hint: float = 0.05,
+    opts: DecodeOptions = DecodeOptions(),
+    reveal_step: int | None = None,
+    max_rounds: int | None = None,
+) -> BlindResult:
+    """Bob-side blind reconciliation loop.
+
+    ``adapter`` must be all-punctured (``n_shortened == 0``): its
+    punctured positions are the reveal budget.  ``reveal(positions)`` is
+    the Alice oracle: given frame positions (a [k] index array into the
+    mother frame), return the true bits [B, k] (one classical message per
+    round).  ``qber_hint`` only shapes the channel LLR magnitude — the
+    protocol needs no QBER estimate; a generic hint works across the
+    code's whole range.
+    """
+    if adapter.short_idx.size:
+        raise ValueError("blind reconciliation starts all-punctured")
+    d = adapter.punct_idx.size
+    if d == 0:
+        raise ValueError("adapter has no punctured budget to reveal")
+    step = reveal_step or max(1, d // 4)
+    n_rounds = max_rounds if max_rounds is not None else -(-d // step)
+
+    bob = jnp.atleast_2d(jnp.asarray(bob_payload, jnp.uint8))
+    syn = jnp.atleast_2d(jnp.asarray(alice_syndromes))
+    B = bob.shape[0]
+    M = adapter.code.n_checks
+
+    llr = jnp.zeros((B, adapter.code.n_vars), jnp.float32)
+    llr = llr.at[:, jnp.asarray(adapter.key_idx)].set(
+        apriori_llr(bob, qber_hint)
+    )
+
+    key = np.zeros((B, adapter.payload_bits), np.uint8)
+    ok = np.zeros((B,), bool)
+    rounds = np.zeros((B,), np.int32)
+    iters = np.zeros((B,), np.int32)
+    revealed = 0
+    key_idx = jnp.asarray(adapter.key_idx)
+
+    for r in range(n_rounds + 1):
+        res = decode(adapter.code, llr, syn, opts)
+        ok_now = np.asarray(res.syndromes_match)
+        newly = ok_now & ~ok
+        if newly.any():
+            key_hat = np.asarray(
+                jnp.take(res.bits, key_idx, axis=1).astype(jnp.uint8)
+            )
+            key[newly] = key_hat[newly]
+            rounds[newly] = r
+            iters[newly] = np.asarray(res.iterations)[newly]
+            ok |= newly
+        if ok.all() or revealed >= d or r == n_rounds:
+            iters[~ok] = np.asarray(res.iterations)[~ok]
+            rounds[~ok] = r
+            break
+        pos = np.asarray(adapter.punct_idx[revealed:revealed + step])
+        values = np.asarray(reveal(pos), np.uint8)
+        pinned = jnp.where(jnp.asarray(values) == 1, -_KNOWN_LLR, _KNOWN_LLR)
+        llr = llr.at[:, jnp.asarray(pos)].set(pinned.astype(jnp.float32))
+        revealed += pos.size
+
+    # Per-frame leakage: syndrome entropy net of the still-secret
+    # punctured bits at the frame's finishing round, plus the revealed
+    # values themselves.
+    leak = M - d + 2 * np.minimum(rounds * step, d).astype(np.int32)
+    return BlindResult(key=key, ok=ok, rounds=rounds, leak_bits=leak,
+                       iterations=iters)
+
+
+def blind_reconcile_sim(
+    code: LDPCCode,
+    alice_payload,  # [B, l]
+    bob_payload,  # [B, l]
+    n_punctured: int,
+    qber_hint: float = 0.05,
+    opts: DecodeOptions = DecodeOptions(),
+    reveal_step: int | None = None,
+    seed: int = 0,
+    frame_key=None,
+) -> tuple[BlindResult, np.ndarray]:
+    """Simulation convenience: plays Alice (private punctured bits,
+    truthful reveals) and returns (result, keys_match oracle)."""
+    adapter = RateAdapter.make(code, n_punctured=n_punctured, seed=seed)
+    alice = jnp.atleast_2d(jnp.asarray(alice_payload, jnp.uint8))
+    if frame_key is None:
+        frame_key = jax.random.PRNGKey(seed + 1)
+    frames = adapter.build_frames(alice, frame_key)
+    syn = adapter.syndromes(frames)
+    frames_np = np.asarray(frames)
+
+    def reveal(positions: np.ndarray) -> np.ndarray:
+        return frames_np[:, positions]
+
+    res = blind_reconcile(
+        adapter, bob_payload, syn, reveal, qber_hint=qber_hint, opts=opts,
+        reveal_step=reveal_step,
+    )
+    keys_match = (res.key == np.asarray(alice)).all(axis=1) & res.ok
+    return res, keys_match

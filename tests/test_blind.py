@@ -1,0 +1,105 @@
+"""Blind reconciliation (no-QBER-estimate interactive protocol) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qkd_ldpc_tpu.channel.keys import introduce_errors, num_errors_for
+from qkd_ldpc_tpu.codes import make_code
+from qkd_ldpc_tpu.decoder import DecodeOptions
+from qkd_ldpc_tpu.decoder.blind import blind_reconcile_sim
+from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
+
+
+@pytest.fixture(scope="module")
+def mother():
+    return make_code(n=1024, m=523, dv=3, seed=3, name="mother-1024")
+
+
+def _keys(mother, d, qber, batch, seed):
+    l = mother.n_vars - d
+    kk = jax.random.PRNGKey(seed)
+    alice = jax.random.bernoulli(kk, 0.5, (batch, l)).astype(jnp.uint8)
+    n_err = num_errors_for(l, qber)
+    bob = introduce_errors(jax.random.fold_in(kk, 1), alice, n_err)
+    return alice, bob, n_err / l
+
+
+def test_blind_good_channel_finishes_round_zero(mother):
+    """At a QBER well inside the punctured rate's reach, frames verify in
+    round 0 — leakage is M - d with no reveals and no estimate."""
+    d = 128
+    alice, bob, _ = _keys(mother, d, 0.02, 8, 5)
+    res, km = blind_reconcile_sim(
+        mother, alice, bob, n_punctured=d, qber_hint=0.05,
+        opts=DecodeOptions(max_iterations=60), reveal_step=32,
+    )
+    assert res.ok.all() and km.all()
+    assert (res.rounds == 0).all()
+    np.testing.assert_array_equal(res.leak_bits, mother.n_checks - d)
+    np.testing.assert_array_equal(res.key, np.asarray(alice))
+
+
+def test_blind_adapts_to_bad_channel(mother):
+    """At a QBER beyond the punctured rate (but inside the mother code's),
+    frames fail round 0 and succeed after reveals; leakage grows by
+    2 bits per revealed bit."""
+    d = 256
+    alice, bob, _ = _keys(mother, d, 0.06, 8, 9)
+    res, km = blind_reconcile_sim(
+        mother, alice, bob, n_punctured=d, qber_hint=0.06,
+        opts=DecodeOptions(max_iterations=60), reveal_step=64,
+    )
+    assert res.ok.all() and km.all()
+    assert (res.rounds > 0).any()  # the protocol actually adapted
+    expect = mother.n_checks - d + 2 * np.minimum(res.rounds * 64, d)
+    np.testing.assert_array_equal(res.leak_bits, expect)
+    np.testing.assert_array_equal(res.key, np.asarray(alice))
+
+
+def test_blind_hopeless_channel_flags_failures(mother):
+    """Beyond even the mother code's reach, exhausting the reveal budget
+    leaves ok=False — never a silently wrong key."""
+    d = 64
+    alice, bob, _ = _keys(mother, d, 0.14, 6, 2)
+    res, km = blind_reconcile_sim(
+        mother, alice, bob, n_punctured=d, qber_hint=0.12,
+        opts=DecodeOptions(max_iterations=40), reveal_step=32,
+    )
+    assert not res.ok.any()
+    assert not km.any()
+
+
+def test_blind_frozen_frames_do_not_change(mother):
+    """A frame that verified in an early round keeps its key and leakage
+    through later rounds (per-frame freeze)."""
+    d = 256
+    # mix: half the frames see an easy channel, half a hard one
+    l = mother.n_vars - d
+    kk = jax.random.PRNGKey(31)
+    alice = jax.random.bernoulli(kk, 0.5, (8, l)).astype(jnp.uint8)
+    easy = introduce_errors(jax.random.fold_in(kk, 1), alice[:4], num_errors_for(l, 0.02))
+    hard = introduce_errors(jax.random.fold_in(kk, 2), alice[4:], num_errors_for(l, 0.06))
+    bob = jnp.concatenate([easy, hard], axis=0)
+    res, km = blind_reconcile_sim(
+        mother, alice, bob, n_punctured=d, qber_hint=0.05,
+        opts=DecodeOptions(max_iterations=60), reveal_step=64,
+    )
+    assert km.all()
+    assert (res.rounds[:4] == 0).all()
+    assert (res.rounds[4:] > 0).any()
+    assert (res.leak_bits[:4] < res.leak_bits[4:].max()).all()
+
+
+def test_blind_validation(mother):
+    from qkd_ldpc_tpu.decoder.blind import blind_reconcile
+
+    ad_short = RateAdapter.make(mother, n_shortened=8)
+    with pytest.raises(ValueError, match="all-punctured"):
+        blind_reconcile(ad_short, np.zeros((1, ad_short.payload_bits)),
+                        np.zeros((1, mother.n_checks)), lambda p: None)
+    ad_none = RateAdapter.make(mother)
+    with pytest.raises(ValueError, match="budget"):
+        blind_reconcile(ad_none, np.zeros((1, mother.n_vars)),
+                        np.zeros((1, mother.n_checks)), lambda p: None)
