@@ -16,6 +16,7 @@ from qkd_ldpc_tpu.decoder.oracle import (
     oracle_reconcile,
     oracle_syndrome,
 )
+from qkd_ldpc_tpu.decoder.blind import BlindResult, blind_reconcile, blind_reconcile_sim
 from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
 from qkd_ldpc_tpu.decoder.reconcile import (
     ReconcileResult,
@@ -32,6 +33,9 @@ __all__ = [
     "bp_decode_batch_last",
     "syndrome",
     "apriori_llr",
+    "BlindResult",
+    "blind_reconcile",
+    "blind_reconcile_sim",
     "RateAdapter",
     "reconcile",
     "reconcile_with_syndrome",

@@ -42,7 +42,10 @@ Semantics are identical to the single-chip decoder
 (:func:`qkd_ldpc_tpu.decoder.bp.bp_decode_batch_last`): same update
 order, same early-exit iteration bookkeeping (reference
 ``src/qkd_ldpc_algorithm.cpp:105-126``), same clamp placement
-(``:74-77,141-144``) — tested bit-exact against it on a virtual mesh.
+(``:74-77,141-144``).  Min-sum is bit-identical on any mesh (its
+reductions are exactly associative); sum-product's distributed log-sum
+matches the single-chip product formulation to f32 rounding, with
+decision/iteration equality asserted on the test fixtures.
 """
 
 from __future__ import annotations
@@ -162,9 +165,12 @@ def bp_decode_node_sharded(
             loo_neg = (gather_rows(row_neg) - neg).astype(jnp.int32) & 1
             sign = jnp.where(loo_neg == 1, -1.0, 1.0) * gather_rows(syn_sign)
 
-            # Same per-row-exp leave-one-out as the single-chip kernel
-            # (decoder.bp._check_update_sum_product): q = exp(row)/own-mag,
-            # capped at 1; 2 atanh(q) = log1p(2q/(1-q)).
+            # Log-magnitude leave-one-out: q = exp(row)/own-mag, capped
+            # at 1; 2 atanh(q) = log1p(2q/(1-q)).  The single-chip kernel
+            # (decoder.bp) computes the same quantity via prefix/suffix
+            # PRODUCTS (no cross-shard product exists without logs), so
+            # the two formulations agree to f32 rounding — decision/
+            # iteration equality is asserted on the test fixtures.
             q = jnp.minimum(gather_rows(jnp.exp(row_log)) / mag, 1.0)
             return sign * jnp.log1p(2.0 * q / (1.0 - q))
 
