@@ -116,3 +116,20 @@ def test_shared_pattern_consistency(mother):
     llr = np.asarray(a.llr(key, 0.03, shared_seed=5))
     signs = llr[0, a.short_idx] < 0
     np.testing.assert_array_equal(signs, pat.astype(bool))
+
+
+@pytest.mark.slow
+def test_rate_adaptive_example_runs(capsys):
+    import importlib.util
+    import pathlib
+
+    path = (pathlib.Path(__file__).parent.parent / "examples"
+            / "rate_adaptive_example.py")
+    spec = importlib.util.spec_from_file_location("ra_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    out = capsys.readouterr().out
+    assert "8/8 frames corrected via Reconciler" in out
+    assert "shortened s=512" in out
+    assert "blind (d=256 punctured" in out
