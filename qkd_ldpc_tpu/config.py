@@ -81,6 +81,7 @@ class Config:
     # --- TPU-native extensions --------------------------------------------
     decoder: str = "sum-product"  # "sum-product" | "min-sum"
     min_sum_alpha: float = 0.8  # normalization factor for min-sum
+    min_sum_beta: float = 0.0  # offset min-sum (0 disables)
     batch_size: int = 0  # frames decoded per device step; 0 = auto
     # QBER at/above which sweep points use continuation batching
     # (sim.continuation: converged lanes refill with fresh trials, so the
@@ -184,6 +185,7 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
         r_qber_parameters=_params_from_json(raw["code_rate_QBER_parameters"]),
         decoder=str(raw.get("decoder", "sum-product")),
         min_sum_alpha=float(raw.get("min_sum_alpha", 0.8)),
+        min_sum_beta=float(raw.get("min_sum_beta", 0.0)),
         batch_size=int(raw.get("batch_size", 0)),
         continuation_qber=float(raw.get("continuation_qber", 0.0)),
         use_mesh=bool(raw.get("use_mesh", True)),

@@ -78,6 +78,9 @@ class DecodeOptions:
     message_threshold: float = 100.0  # SUM_PRODUCT_MSG_LLR_THRESHOLD
     algorithm: str = "sum-product"  # "sum-product" | "min-sum"
     min_sum_alpha: float = 0.8  # normalized min-sum scaling
+    # Offset min-sum: |message| -> max(|message| - beta, 0) before the
+    # alpha scaling (the other standard hardware variant; 0 disables).
+    min_sum_beta: float = 0.0
     # Storage dtype of the edge-message state (Lr and the gathered totals).
     # "bfloat16" halves the HBM traffic of the decode loop; all
     # transcendentals and totals still compute in float32.  Hard-decision/
@@ -147,7 +150,8 @@ def _check_update_sum_product(
 
 
 def _check_update_min_sum(
-    Lq: jax.Array, chk_mask: jax.Array, syn_sign: jax.Array, alpha: float
+    Lq: jax.Array, chk_mask: jax.Array, syn_sign: jax.Array, alpha: float,
+    beta: float = 0.0,
 ) -> jax.Array:
     """Normalized min-sum check-node update ([dc, M, B] layout).
 
@@ -170,6 +174,8 @@ def _check_update_min_sum(
     neg_row = jnp.sum(neg, axis=0)
     loo_neg = (neg_row[None] - neg) & 1
     sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn_sign[None]
+    if beta:
+        loo_min = jnp.maximum(loo_min - beta, 0.0)
     return alpha * sign * loo_min
 
 
@@ -249,12 +255,14 @@ class _DecodeCore:
                 syn_sign.astype(jnp.float32),
                 threshold=opts.message_threshold, clip=opts.clip_messages,
                 interpret=self.interpret, algorithm=opts.algorithm,
-                min_sum_alpha=opts.min_sum_alpha, scale=self.scale,
+                min_sum_alpha=opts.min_sum_alpha,
+                min_sum_beta=opts.min_sum_beta, scale=self.scale,
             )
         Lq_f = self.from_storage(Lq)
         if opts.algorithm == "min-sum":
             lr = _check_update_min_sum(
-                Lq_f, self.chk_mask_T, syn_sign, opts.min_sum_alpha
+                Lq_f, self.chk_mask_T, syn_sign, opts.min_sum_alpha,
+                opts.min_sum_beta,
             )
         else:
             lr = _check_update_sum_product(Lq_f, self.chk_mask_T, syn_sign)
@@ -281,6 +289,7 @@ class _DecodeCore:
                 threshold=opts.message_threshold, clip=opts.clip_messages,
                 interpret=self.interpret, algorithm=opts.algorithm,
                 min_sum_alpha=opts.min_sum_alpha,
+                min_sum_beta=opts.min_sum_beta,
             )
             mask_i32 = self.chk_mask_T.astype(jnp.int32)
             syn_f = syn_sign.astype(jnp.float32)
@@ -297,7 +306,8 @@ class _DecodeCore:
             Lq = jnp.where(fresh[None, None, :], Lq_raw, Lq)
         if opts.algorithm == "min-sum":
             lr = _check_update_min_sum(
-                Lq, self.chk_mask_T, syn_sign, opts.min_sum_alpha
+                Lq, self.chk_mask_T, syn_sign, opts.min_sum_alpha,
+                opts.min_sum_beta,
             )
         else:
             lr = _check_update_sum_product(Lq, self.chk_mask_T, syn_sign)

@@ -67,7 +67,7 @@ def _sp_messages(t, syn, threshold, clip):
     return out
 
 
-def _ms_messages(lq, masks, syn, threshold, clip, alpha):
+def _ms_messages(lq, masks, syn, threshold, clip, alpha, beta=0.0):
     """Normalized min-sum outputs from raw f32 inputs (list of tiles).
 
     Tie rule matches the round-1 kernel and the reference-order semantics:
@@ -95,6 +95,8 @@ def _ms_messages(lq, masks, syn, threshold, clip, alpha):
     out = []
     for j in range(dc):
         loo = jnp.where(s1 == j, m2, m1)
+        if beta:
+            loo = jnp.maximum(loo - beta, 0.0)
         loo_neg = (tot_neg - neg[j]) & 1
         sign = jnp.where(loo_neg == 1, -1.0, 1.0) * syn
         lr = alpha * sign * loo
@@ -120,13 +122,13 @@ def _store(ref, j, x, scale):
 
 
 def _check_kernel(lq_ref, mask_ref, syn_ref, lr_ref, *, threshold, clip,
-                  dc, algorithm, alpha, scale):
+                  dc, algorithm, alpha, beta, scale):
     """First-iteration check update: Lq (unclipped a-priori gathers) in."""
     syn = syn_ref[:]
     masks = [mask_ref[j][:, None] != 0 for j in range(dc)]
     lq = [_load(lq_ref, j, scale) for j in range(dc)]
     if algorithm == "min-sum":
-        out = _ms_messages(lq, masks, syn, threshold, clip, alpha)
+        out = _ms_messages(lq, masks, syn, threshold, clip, alpha, beta)
     else:
         t = [jnp.where(masks[j], jnp.tanh(lq[j] * 0.5), 1.0) for j in range(dc)]
         out = _sp_messages(t, syn, threshold, clip)
@@ -135,7 +137,7 @@ def _check_kernel(lq_ref, mask_ref, syn_ref, lr_ref, *, threshold, clip,
 
 
 def _fused_kernel(tot_ref, lrp_ref, mask_ref, syn_ref, lr_ref, *, threshold,
-                  clip, dc, algorithm, alpha, scale):
+                  clip, dc, algorithm, alpha, beta, scale):
     """Fused bit-node + check update: Lq = clip(tot_chk - Lr_prev) in-register."""
     syn = syn_ref[:]
     masks = [mask_ref[j][:, None] != 0 for j in range(dc)]
@@ -146,7 +148,7 @@ def _fused_kernel(tot_ref, lrp_ref, mask_ref, syn_ref, lr_ref, *, threshold,
             v = jnp.clip(v, -threshold, threshold)
         lq.append(v)
     if algorithm == "min-sum":
-        out = _ms_messages(lq, masks, syn, threshold, clip, alpha)
+        out = _ms_messages(lq, masks, syn, threshold, clip, alpha, beta)
     else:
         t = [jnp.where(masks[j], jnp.tanh(lq[j] * 0.5), 1.0) for j in range(dc)]
         out = _sp_messages(t, syn, threshold, clip)
@@ -186,7 +188,7 @@ def _auto_block_m(block_m, dc, bb, itemsize, n_edge_io):
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
                                    "interpret", "algorithm", "min_sum_alpha",
-                                   "scale"))
+                                   "min_sum_beta", "scale"))
 def check_update_pallas(
     Lq: jax.Array,  # [dc, M, B] messages, dc-first, batch last
     chk_mask_i32: jax.Array,  # [dc, M] int32
@@ -198,6 +200,7 @@ def check_update_pallas(
     interpret: bool = False,
     algorithm: str = "sum-product",
     min_sum_alpha: float = 0.8,
+    min_sum_beta: float = 0.0,
     scale: float | None = None,  # int8 fixed-point LSB (None = float storage)
 ) -> jax.Array:
     """First-iteration check update as a Pallas TPU kernel ([dc, M, B])."""
@@ -205,7 +208,8 @@ def check_update_pallas(
     bb = min(block_b, B)
     bm = min(_auto_block_m(block_m, dc, bb, Lq.dtype.itemsize, 2), M)
     kernel = partial(_check_kernel, threshold=threshold, clip=clip, dc=dc,
-                     algorithm=algorithm, alpha=min_sum_alpha, scale=scale)
+                     algorithm=algorithm, alpha=min_sum_alpha,
+                     beta=min_sum_beta, scale=scale)
     in_specs, out_spec = _specs(dc, bm, bb, 1)
     return pl.pallas_call(
         kernel,
@@ -219,7 +223,7 @@ def check_update_pallas(
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
                                    "interpret", "algorithm", "min_sum_alpha",
-                                   "scale"))
+                                   "min_sum_beta", "scale"))
 def fused_update_pallas(
     tot_chk: jax.Array,  # [dc, M, B] gathered totals (message dtype)
     Lr_prev: jax.Array,  # [dc, M, B] previous check->bit messages
@@ -232,6 +236,7 @@ def fused_update_pallas(
     interpret: bool = False,
     algorithm: str = "sum-product",
     min_sum_alpha: float = 0.8,
+    min_sum_beta: float = 0.0,
     scale: float | None = None,  # int8 fixed-point LSB (None = float storage)
 ) -> jax.Array:
     """Fused bit-node update + check update ([dc, M, B] -> [dc, M, B])."""
@@ -239,7 +244,8 @@ def fused_update_pallas(
     bb = min(block_b, B)
     bm = min(_auto_block_m(block_m, dc, bb, Lr_prev.dtype.itemsize, 3), M)
     kernel = partial(_fused_kernel, threshold=threshold, clip=clip, dc=dc,
-                     algorithm=algorithm, alpha=min_sum_alpha, scale=scale)
+                     algorithm=algorithm, alpha=min_sum_alpha,
+                     beta=min_sum_beta, scale=scale)
     in_specs, out_spec = _specs(dc, bm, bb, 2)
     return pl.pallas_call(
         kernel,
@@ -253,7 +259,7 @@ def fused_update_pallas(
 
 def _fused_kernel_fresh(tot_ref, lrp_ref, fresh_ref, mask_ref, syn_ref,
                         lr_ref, *, threshold, clip, dc, algorithm, alpha,
-                        scale):
+                        beta, scale):
     """Fused update with a per-lane 'fresh' flag ([1, Bt] int32): fresh
     lanes skip the clip on the recomputed Lq — their (tot, Lr=0) state
     encodes a FIRST iteration, whose check inputs are the raw (never
@@ -270,7 +276,7 @@ def _fused_kernel_fresh(tot_ref, lrp_ref, fresh_ref, mask_ref, syn_ref,
             v = raw
         lq.append(v)
     if algorithm == "min-sum":
-        out = _ms_messages(lq, masks, syn, threshold, clip, alpha)
+        out = _ms_messages(lq, masks, syn, threshold, clip, alpha, beta)
     else:
         t = [jnp.where(masks[j], jnp.tanh(lq[j] * 0.5), 1.0) for j in range(dc)]
         out = _sp_messages(t, syn, threshold, clip)
@@ -280,7 +286,7 @@ def _fused_kernel_fresh(tot_ref, lrp_ref, fresh_ref, mask_ref, syn_ref,
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
                                    "interpret", "algorithm", "min_sum_alpha",
-                                   "scale"))
+                                   "min_sum_beta", "scale"))
 def fused_update_fresh_pallas(
     tot_chk: jax.Array,  # [dc, M, B]
     Lr_prev: jax.Array,  # [dc, M, B]
@@ -294,6 +300,7 @@ def fused_update_fresh_pallas(
     interpret: bool = False,
     algorithm: str = "sum-product",
     min_sum_alpha: float = 0.8,
+    min_sum_beta: float = 0.0,
     scale: float | None = None,  # int8 fixed-point LSB (None = float storage)
 ) -> jax.Array:
     """Fused update with per-lane restart semantics (continuation runner)."""
@@ -302,7 +309,7 @@ def fused_update_fresh_pallas(
     bm = min(_auto_block_m(block_m, dc, bb, Lr_prev.dtype.itemsize, 3), M)
     kernel = partial(_fused_kernel_fresh, threshold=threshold, clip=clip,
                      dc=dc, algorithm=algorithm, alpha=min_sum_alpha,
-                     scale=scale)
+                     beta=min_sum_beta, scale=scale)
     edge = pl.BlockSpec((dc, bm, bb), lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -225,6 +225,8 @@ def bp_decode_node_sharded(
             )
             loo_neg = (gather_rows(row_neg) - neg) & 1
             sign = jnp.where(loo_neg == 1, -1.0, 1.0) * gather_rows(syn_sign)
+            if opts.min_sum_beta:
+                loo_min = jnp.maximum(loo_min - opts.min_sum_beta, 0.0)
             return opts.min_sum_alpha * sign * loo_min
 
         check_to_var = (

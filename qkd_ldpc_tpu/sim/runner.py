@@ -64,6 +64,7 @@ def decode_options_from_config(cfg: Config) -> DecodeOptions:
         message_threshold=cfg.sum_product_msg_llr_threshold,
         algorithm=cfg.decoder,
         min_sum_alpha=cfg.min_sum_alpha,
+        min_sum_beta=cfg.min_sum_beta,
         message_dtype=cfg.dtype,
         backend=cfg.backend,
     )

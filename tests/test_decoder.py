@@ -360,3 +360,50 @@ def test_no_clip_option(medium_code):
     res = reconcile(medium_code, alice, bob, ne / medium_code.n_vars,
                     DecodeOptions(clip_messages=False))
     assert int(res.keys_match.sum()) == 8
+
+
+def test_offset_min_sum(medium_code):
+    """Offset min-sum (beta > 0): decodes the plateau, differs from the
+    normalized variant, agrees between XLA and Pallas(interpret) backends,
+    and matches the node-sharded decoder bit-for-bit."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    n_err = num_errors_for(medium_code.n_vars, 0.03)
+    alice, bob = make_trial_batch(
+        jax.random.PRNGKey(3), medium_code.n_vars, 12,
+        jnp.asarray(n_err, jnp.int32),
+    )
+    q = n_err / medium_code.n_vars
+    o_norm = DecodeOptions(algorithm="min-sum", max_iterations=60)
+    o_off = DecodeOptions(algorithm="min-sum", max_iterations=60,
+                          min_sum_alpha=1.0, min_sum_beta=0.4)
+    r_norm = reconcile(medium_code, alice, bob, q, o_norm)
+    r_off = reconcile(medium_code, alice, bob, q, o_off)
+    assert np.asarray(r_off.keys_match).all()
+    assert not np.array_equal(
+        np.asarray(r_norm.iterations), np.asarray(r_off.iterations)
+    )
+
+    o_pal = DecodeOptions(algorithm="min-sum", max_iterations=60,
+                          min_sum_alpha=1.0, min_sum_beta=0.4,
+                          backend="pallas")
+    r_pal = reconcile(medium_code, alice, bob, q, o_pal)
+    np.testing.assert_array_equal(np.asarray(r_off.bits), np.asarray(r_pal.bits))
+    np.testing.assert_array_equal(
+        np.asarray(r_off.iterations), np.asarray(r_pal.iterations)
+    )
+
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome
+    from qkd_ldpc_tpu.parallel import decode_node_sharded, make_mesh
+
+    llr = apriori_llr(bob, q)
+    syn = syndrome(medium_code, alice)
+    ns = decode_node_sharded(medium_code, llr, syn, o_off,
+                             make_mesh(n_trial=2, n_node=4))
+    ref = decode(medium_code, llr, syn, o_off)
+    np.testing.assert_array_equal(np.asarray(ns.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(ns.iterations), np.asarray(ref.iterations)
+    )
