@@ -13,6 +13,7 @@ C++ reference simulator ColdCloudd/QKD_LDPC (see SURVEY.md):
 - QBER sweep planning, stats, CSV, checkpointing,
   interactive mode, console tracing                   -> `qkd_ldpc_tpu.sim`
 - production serving endpoint (Alice/Bob roles)       -> `qkd_ldpc_tpu.serve`
+- verification + privacy amplification (Toeplitz/MXU) -> `qkd_ldpc_tpu.postprocess`
 
 Unlike the reference (one process, a CPU thread pool over trials,
 scalar C++ loops over graph edges), everything here is expressed as pure
@@ -28,6 +29,11 @@ from qkd_ldpc_tpu.decoder import (
     reconcile,
     syndrome,
 )
+from qkd_ldpc_tpu.postprocess import (
+    amplified_key_bits,
+    privacy_amplify,
+    verification_tags,
+)
 from qkd_ldpc_tpu.serve import Reconciler, ServeResult
 
 __version__ = "0.1.0"
@@ -42,6 +48,9 @@ __all__ = [
     "DecodeResult",
     "Reconciler",
     "ServeResult",
+    "verification_tags",
+    "privacy_amplify",
+    "amplified_key_bits",
     "decode",
     "reconcile",
     "syndrome",
