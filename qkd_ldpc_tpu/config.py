@@ -82,7 +82,8 @@ class Config:
     decoder: str = "sum-product"  # "sum-product" | "min-sum"
     min_sum_alpha: float = 0.8  # normalization factor for min-sum
     min_sum_beta: float = 0.0  # offset min-sum (0 disables)
-    batch_size: int = 0  # frames decoded per device step; 0 = auto
+    batch_size: int = 0  # frames decoded PER DEVICE per step; 0 = auto
+    # (on a multi-device mesh the global batch is batch_size x devices)
     # QBER at/above which sweep points use continuation batching
     # (sim.continuation: converged lanes refill with fresh trials, so the
     # batch early-exit barrier stops taxing the waterfall's high iteration
