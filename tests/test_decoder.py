@@ -407,3 +407,95 @@ def test_offset_min_sum(medium_code):
     np.testing.assert_array_equal(
         np.asarray(ns.iterations), np.asarray(ref.iterations)
     )
+
+
+def test_product_form_decodes_where_division_form_nans():
+    """DELIBERATE divergence from the reference's numerics: its
+    ``row_prod / tanh_j`` check update (qkd_ldpc_algorithm.cpp:67,
+    faithfully mirrored by the f64 oracle) produces 0/0 = NaN whenever a
+    message is exactly zero — e.g. an erasure LLR, or symmetric
+    cancellation on weak codes — poisoning the frame, which then runs to
+    max_iterations and fails.  The prefix/suffix product form computes
+    the well-defined limit (a zero input zeroes the other extrinsics;
+    the zero edge gets the product of the others) and decodes the frame.
+
+    The reference's shipped configurations never measurably trigger this
+    (dv=3 ensemble, clip 100, f64 — the 5000-trial parity tables match
+    exactly); rate adaptation's punctured positions trigger it by
+    construction, which is why the division form was rejected.
+    """
+    import numpy as np
+
+    from qkd_ldpc_tpu.codes import make_code
+    from qkd_ldpc_tpu.decoder.oracle import oracle_decode
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
+
+    code = make_code(n=64, m=33, dv=3, seed=2)
+    alice = np.asarray(
+        jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (code.n_vars,))
+    ).astype(np.uint8)
+    syn = np.asarray(syndrome_fn(code, jnp.asarray(alice[None])))[0]
+    # Bob's LLRs: confident and correct except one flipped bit and one
+    # erasure (LLR exactly 0) — a frame any sane decoder recovers.
+    llr = np.where(alice == 1, -4.0, 4.0)
+    flip = 3
+    llr[flip] = -llr[flip]
+    llr[7] = 0.0
+    opts = DecodeOptions(max_iterations=30)
+
+    r = decode(code, jnp.asarray(llr, jnp.float32)[None], jnp.asarray(syn)[None], opts)
+    assert bool(r.syndromes_match[0])
+    np.testing.assert_array_equal(np.asarray(r.bits[0]), alice)
+
+    o = oracle_decode(code, llr, syn, max_iterations=30)
+    assert not o.syndromes_match  # the division form NaNs out
+
+
+def test_random_parity_vs_oracle_clipped_defaults():
+    """Bounded random sweep of the DEFAULT (clipped) configuration space
+    vs the f64 oracle: converged frames must agree exactly on decisions,
+    iterations, and verdicts.  (Unconverged frames' final bits are
+    chaotic under f32-vs-f64 and are compared on verdict/iterations
+    only; the unclipped regime diverges by design — see the test above.)"""
+    import numpy as np
+
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.codes import make_code
+    from qkd_ldpc_tpu.decoder.oracle import oracle_reconcile
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    rng = np.random.default_rng(7)
+    done = 0
+    while done < 10:
+        n = int(rng.integers(32, 320))
+        m = max(4, int(n * rng.uniform(0.3, 0.7)))
+        try:
+            code = make_code(n=n, m=m, dv=int(rng.choice([3, 4])),
+                             seed=int(rng.integers(1e6)))
+        except ValueError:
+            continue
+        qber = float(rng.uniform(1.5 / n, 0.09))
+        ne = num_errors_for(n, qber)
+        if ne == 0:
+            continue
+        mi = int(rng.integers(5, 50))
+        thr = float(rng.choice([100.0, 25.0, 5.0]))
+        opts = DecodeOptions(max_iterations=mi, message_threshold=thr)
+        alice, bob = make_trial_batch(
+            jax.random.PRNGKey(int(rng.integers(1e6))), n, 2,
+            jnp.asarray(ne, jnp.int32),
+        )
+        q = ne / n
+        res = reconcile(code, alice, bob, q, opts)
+        for b in range(2):
+            ores, _ = oracle_reconcile(
+                code, np.asarray(alice[b]), np.asarray(bob[b]), q,
+                max_iterations=mi, message_threshold=thr,
+            )
+            assert int(res.iterations[b]) == ores.iterations, (n, m, qber, mi, thr)
+            assert bool(res.syndromes_match[b]) == ores.syndromes_match
+            if ores.syndromes_match:
+                np.testing.assert_array_equal(
+                    np.asarray(res.bits[b]), ores.bits
+                )
+        done += 1
