@@ -152,6 +152,13 @@ struct LineReader {
       if (!*p) break;
       const long v = std::strtol(p, &end, 10);
       if (end == p) return false;  // non-integer token
+      // Require whitespace (or end of line) after every number: one
+      // integer per token, same strictness as the Python parser.  The
+      // reference's stream extraction would parse glued signs
+      // ("52+74" -> 52, 74); both of our parsers reject such junk so a
+      // corrupted file can never silently misparse into a wrong graph.
+      if (*end && *end != ' ' && *end != '\t' && *end != '\r')
+        return false;
       out->push_back(v);
       p = end;
     }

@@ -13,9 +13,14 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import re
+
 import numpy as np
 
 from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode, from_check_adjacency
+
+
+_INT_TOKEN = re.compile(r"[+-]?[0-9]+")
 
 
 def _parse_int_lines(text: str, path: str) -> list[list[int]]:
@@ -24,10 +29,18 @@ def _parse_int_lines(text: str, path: str) -> list[list[int]]:
         raise ValueError(f"File is empty or cannot be read properly: {path}")
     out = []
     for line in lines:
-        try:
-            out.append([int(tok) for tok in line.split()])
-        except ValueError as e:
-            raise ValueError(f"An error occurred while parsing file: {path}") from e
+        # ASCII-decimal tokens only, one integer per whitespace-separated
+        # token: the same strictness as the native C++ tokenizer (which
+        # requires whitespace after every number).  Deliberately stricter
+        # than the reference's `istringstream >> int`, which parses glued
+        # sign characters ("52+74" -> 52, 74) and silently IGNORES the
+        # rest of a line after any unparsable junk — a corrupted file can
+        # misparse into a wrong graph there; both of our parsers reject
+        # it instead (differential-fuzzed, tests/test_fuzz.py).
+        toks = line.split()
+        if not all(_INT_TOKEN.fullmatch(t) for t in toks):
+            raise ValueError(f"An error occurred while parsing file: {path}")
+        out.append([int(t) for t in toks])
     return out
 
 

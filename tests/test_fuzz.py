@@ -104,3 +104,27 @@ def test_converged_frames_satisfy_syndrome_property():
         assert np.array_equal(got[ok], target[ok]), (n, m, q)
         # keys_match implies syndromes_match (never the reverse claim)
         assert not np.any(np.asarray(res.keys_match) & ~ok)
+
+
+def test_glued_sign_tokens_rejected_by_both_parsers(tmp_path):
+    """A 75k-case differential fuzz found the native tokenizer accepting
+    glued-sign tokens ("52+74" -> 52, 74 via strtol resume — also the
+    reference's istringstream behavior) while the Python parser rejects
+    them.  Both now enforce one integer per whitespace token —
+    deliberately stricter than the reference, whose stream extraction
+    can silently misparse corrupted files into a wrong graph."""
+    from qkd_ldpc_tpu.codes import make_code, read_alist, write_alist
+
+    code = make_code(n=48, m=25, dv=3, seed=5)
+    p = tmp_path / "glue.alist"
+    write_alist(code, str(p))
+    text = p.read_text()
+    # glue the first two adjacency numbers with a '+' sign
+    lines = text.splitlines()
+    toks = lines[4].split()
+    assert len(toks) >= 2
+    lines[4] = toks[0] + "+" + toks[1] + (" " + " ".join(toks[2:]) if toks[2:] else "")
+    p.write_text("\n".join(lines) + "\n")
+    for native in (True, False):
+        with pytest.raises(ValueError):
+            read_alist(str(p), native=native)
