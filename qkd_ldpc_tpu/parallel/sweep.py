@@ -374,7 +374,12 @@ def run_point_node_sharded(
     composition of data parallelism with intra-frame model parallelism,
     for frames too large (or too latency-critical) for one chip.
 
-    Statistics are bit-identical to the single-chip runner.
+    Statistics: exactly the single-chip runner's for min-sum (its
+    distributed reductions are associative); for sum-product the
+    distributed log-sum matches the single-chip product formulation to
+    f32 rounding — an extended randomized soak found ~1 boundary frame
+    in a few thousand converging one iteration earlier/later, which
+    shifts Σiters by ±1 without changing any FER/verdict statistic.
     """
     n_err = num_errors_for(code.n_vars, qber)
     if n_err == 0:
