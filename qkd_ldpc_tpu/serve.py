@@ -39,6 +39,7 @@ import numpy as np
 
 from qkd_ldpc_tpu.codes.ldpc_code import LDPCCode
 from qkd_ldpc_tpu.decoder.bp import DecodeOptions, bp_decode_batch_last
+from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
 from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
 from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
 
@@ -54,6 +55,14 @@ class ServeResult(NamedTuple):
 @partial(jax.jit, static_argnames=("opts",))
 def _serve_step(code, bob, syn, qber, opts):
     llr = apriori_llr(bob, qber)
+    z, iters, ok = bp_decode_batch_last(
+        code, llr.T, syn.T.astype(jnp.int8), opts
+    )
+    return z.T.astype(jnp.uint8), iters, ok
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _serve_step_llr(code, llr, syn, opts):
     z, iters, ok = bp_decode_batch_last(
         code, llr.T, syn.T.astype(jnp.int8), opts
     )
@@ -78,15 +87,32 @@ class Reconciler:
         code: LDPCCode,
         opts: DecodeOptions = DecodeOptions(),
         lanes: int = 128,
+        adapter: RateAdapter | None = None,
+        shared_seed: int = 0,
     ):
+        """``adapter`` serves an adapted rate over the mother ``code``
+        (decoder.rate_adapt): requests then carry PAYLOAD bits
+        (``adapter.payload_bits`` per frame), punctured positions are
+        erasures recovered by the decoder, and ``shared_seed`` fixes the
+        shortened pattern both sides derive."""
         if lanes < 1:
             raise ValueError("lanes must be >= 1")
+        if adapter is not None and adapter.code is not code:
+            if (adapter.code.n_vars, adapter.code.n_checks) != (
+                code.n_vars, code.n_checks
+            ):
+                raise ValueError("adapter was built for a different code")
         self.code = code.to_device()
         self.opts = opts
         self.lanes = lanes
+        self.adapter = adapter
+        self.shared_seed = shared_seed
 
     @property
     def frame_bits(self) -> int:
+        """Bits per request frame (payload bits when rate-adapted)."""
+        if self.adapter is not None:
+            return self.adapter.payload_bits
         return self.code.n_vars
 
     @property
@@ -95,19 +121,25 @@ class Reconciler:
 
     @property
     def leak_bits(self) -> int:
-        """Information disclosed per frame (syndrome bits), for the
-        privacy-amplification budget."""
+        """Information disclosed per frame, for the privacy-
+        amplification budget (syndrome bits, net of punctured entropy
+        when rate-adapted)."""
+        if self.adapter is not None:
+            return self.adapter.leak_bits
         return self.code.n_checks
 
     def warmup(self) -> "Reconciler":
         """Compile both directions now (first call is otherwise slow)."""
         bob = np.zeros((1, self.frame_bits), np.uint8)
-        syn = self.syndromes(bob)
+        syn = self.syndromes(bob, frame_key=jax.random.PRNGKey(0))
         self.reconcile(bob, syn, qber=0.01)
         return self
 
-    def syndromes(self, bits) -> np.ndarray:
-        """Alice side: syndromes [n, M] of key frames [n, N] (or [N])."""
+    def syndromes(self, bits, frame_key=None) -> np.ndarray:
+        """Alice side: syndromes [n, M] of key frames [n, frame_bits]
+        (or 1-D).  Rate-adapted endpoints assemble the full mother-code
+        frame first; ``frame_key`` supplies Alice's PRIVATE randomness
+        for punctured positions (required when the adapter punctures)."""
         arr = np.asarray(bits, np.uint8)
         single = arr.ndim == 1
         if single:
@@ -116,7 +148,20 @@ class Reconciler:
             raise ValueError(
                 f"expected {self.frame_bits}-bit frames, got {arr.shape[-1]}"
             )
-        out = np.asarray(_syndrome_step(self.code, jnp.asarray(arr)))
+        if self.adapter is not None:
+            if self.adapter.punct_idx.size and frame_key is None:
+                raise ValueError(
+                    "frame_key (Alice's private randomness for punctured "
+                    "bits) is required on a punctured endpoint"
+                )
+            frames = self.adapter.build_frames(
+                jnp.asarray(arr),
+                frame_key if frame_key is not None else jax.random.PRNGKey(0),
+                self.shared_seed,
+            )
+            out = np.asarray(_syndrome_step(self.code, frames))
+        else:
+            out = np.asarray(_syndrome_step(self.code, jnp.asarray(arr)))
         return out[0] if single else out
 
     def reconcile(self, bob_bits, alice_syndromes, qber: float) -> ServeResult:
@@ -148,14 +193,23 @@ class Reconciler:
         iters = np.empty((n,), np.int32)
         ok = np.empty((n,), bool)
         q = jnp.asarray(qber, jnp.float32)
+        key_idx = (jnp.asarray(self.adapter.key_idx)
+                   if self.adapter is not None else None)
         for off in range(0, n, self.lanes):
             chunk = min(self.lanes, n - off)
             pad = self.lanes - chunk
             b = np.pad(bob[off:off + chunk], ((0, pad), (0, 0)))
             s = np.pad(syn[off:off + chunk], ((0, pad), (0, 0)))
-            z, it, okd = _serve_step(
-                self.code, jnp.asarray(b), jnp.asarray(s), q, self.opts
-            )
+            if self.adapter is not None:
+                llr = self.adapter.llr(jnp.asarray(b), q, self.shared_seed)
+                z, it, okd = _serve_step_llr(
+                    self.code, llr, jnp.asarray(s), self.opts
+                )
+                z = jnp.take(z, key_idx, axis=1)
+            else:
+                z, it, okd = _serve_step(
+                    self.code, jnp.asarray(b), jnp.asarray(s), q, self.opts
+                )
             # one blocking fetch per chunk
             z, it, okd = np.asarray(z), np.asarray(it), np.asarray(okd)
             bits[off:off + chunk] = z[:chunk]

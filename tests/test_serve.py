@@ -76,3 +76,61 @@ def test_reconciler_validation(medium_code):
     with pytest.raises(ValueError, match="lanes"):
         Reconciler(medium_code, lanes=0)
     assert rec.leak_bits == medium_code.n_checks
+
+
+def test_rate_adapted_reconciler(medium_code):
+    """A shortened endpoint serves payload-bit requests and reconciles a
+    channel the mother rate cannot, matching the adapter's library path."""
+    from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
+
+    ad = RateAdapter.make(medium_code, n_shortened=128, seed=2)
+    opts = DecodeOptions(max_iterations=60)
+    rec = Reconciler(medium_code, opts, lanes=8, adapter=ad).warmup()
+    assert rec.frame_bits == ad.payload_bits
+    assert rec.leak_bits == medium_code.n_checks
+
+    l = ad.payload_bits
+    kk = jax.random.PRNGKey(5)
+    alice = np.asarray(jax.random.bernoulli(kk, 0.5, (10, l))).astype(np.uint8)
+    n_err = num_errors_for(l, 0.07)
+    bob = np.asarray(jax.random.bernoulli(kk, 0.0, (10, l))).astype(np.uint8)
+    import jax.numpy as jnp2
+    from qkd_ldpc_tpu.channel.keys import introduce_errors
+    bob = np.asarray(introduce_errors(jax.random.fold_in(kk, 1),
+                                      jnp2.asarray(alice), n_err))
+
+    syn = rec.syndromes(alice)
+    out = rec.reconcile(bob, syn, qber=n_err / l)
+    assert out.syndromes_match.all()
+    np.testing.assert_array_equal(out.bits, alice)
+
+    # library path agreement (same shortened pattern via shared_seed=0)
+    kh, it, ok = ad.reconcile(jnp2.asarray(bob), jnp2.asarray(syn),
+                              n_err / l, opts)
+    np.testing.assert_array_equal(out.bits, np.asarray(kh))
+    np.testing.assert_array_equal(out.iterations, np.asarray(it))
+
+
+def test_punctured_reconciler_requires_frame_key(medium_code):
+    from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
+
+    ad = RateAdapter.make(medium_code, n_punctured=64, seed=3)
+    rec = Reconciler(medium_code, DecodeOptions(max_iterations=40),
+                     lanes=4, adapter=ad)
+    alice = np.zeros((2, ad.payload_bits), np.uint8)
+    with pytest.raises(ValueError, match="frame_key"):
+        rec.syndromes(alice)
+    syn = rec.syndromes(alice, frame_key=jax.random.PRNGKey(1))
+    out = rec.reconcile(alice, syn, qber=0.01)  # noiseless payload
+    assert out.syndromes_match.all()
+    np.testing.assert_array_equal(out.bits, alice)
+
+
+def test_adapter_code_mismatch_rejected(medium_code):
+    from qkd_ldpc_tpu.codes import make_code
+    from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
+
+    other = make_code(n=128, m=65, dv=3, seed=9)
+    ad = RateAdapter.make(other, n_shortened=16)
+    with pytest.raises(ValueError, match="different code"):
+        Reconciler(medium_code, adapter=ad)
