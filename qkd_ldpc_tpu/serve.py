@@ -16,8 +16,13 @@ long-lived object with a serving-shaped contract:
 - **Both roles**: `syndromes()` is Alice's side (compute the syndromes
   to transmit); `reconcile()` is Bob's (correct the noisy key toward the
   received syndromes).  `leak_bits` reports the information disclosed
-  per frame (M syndrome bits — the standard reconciliation leakage
-  accounting before privacy amplification).
+  per frame for the privacy-amplification budget
+  (qkd_ldpc_tpu.postprocess carries the remaining chain: verification
+  tags + key compression).
+- **Rate adaptation**: pass ``adapter=RateAdapter(...)`` to serve an
+  adapted rate over the mother code — requests then carry payload bits,
+  punctured positions are decoder-recovered erasures, and the leakage
+  accounting follows the adapter.
 
 Example::
 
