@@ -17,6 +17,13 @@ same equations in the reference's own division form, with hook points for
 every quantity above.  This module formats those hooks into the
 reference-style console dump and drives a traced single-frame protocol
 step (used by interactive mode and the example program).
+
+Caveat, inherited deliberately: the oracle carries the reference's
+division-form numerics, which NaN on exactly-zero messages (PARITY.md
+"Known deliberate divergence") — a traced frame with an erasure LLR
+shows the NaN cascade the reference itself would print, while the
+compiled decoder recovers the frame.  Traces are a debugging view of
+reference behavior, not of the production decode path.
 """
 
 from __future__ import annotations
