@@ -52,7 +52,8 @@ from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
 class ServeResult(NamedTuple):
     """Host-side reconciliation outcome (NumPy)."""
 
-    bits: np.ndarray  # [n, N] uint8 corrected key
+    bits: np.ndarray  # [n, frame_bits] uint8 corrected key (payload
+    # bits on a rate-adapted endpoint)
     iterations: np.ndarray  # [n] int32
     syndromes_match: np.ndarray  # [n] bool — verify before using the key!
 
