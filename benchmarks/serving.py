@@ -78,7 +78,7 @@ def main():
         syn = rec.syndromes(alice[:lanes])
         rec.reconcile(bob[:lanes], syn, qber=n_err / code.n_vars)  # warm shape
         lat = []
-        for _ in range(9):
+        for _ in range(9):  # tunnel transfers dominate; more reps exceed practical windows
             t0 = time.perf_counter()
             out = rec.reconcile(bob[:lanes], syn, qber=n_err / code.n_vars)
             lat.append(time.perf_counter() - t0)
@@ -89,7 +89,7 @@ def main():
         syn_d = jnp.asarray(syn)
         np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))  # warm
         dev = []
-        for _ in range(9):
+        for _ in range(9):  # tunnel transfers dominate; more reps exceed practical windows
             t0 = time.perf_counter()
             np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))
             dev.append(time.perf_counter() - t0)
