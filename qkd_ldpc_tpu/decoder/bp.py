@@ -102,6 +102,11 @@ class DecodeOptions:
     backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     def __post_init__(self):
+        if self.max_iterations < 1:
+            # The first iteration is peeled (it always runs), so a cap
+            # below 1 would report iterations=1 > cap.  Config validates
+            # this bound too; direct DecodeOptions users get it here.
+            raise ValueError("max_iterations must be >= 1")
         if self.algorithm not in ("sum-product", "min-sum"):
             raise ValueError(f"Unknown algorithm {self.algorithm!r}")
         if self.message_dtype not in ("float32", "bfloat16", "int8"):

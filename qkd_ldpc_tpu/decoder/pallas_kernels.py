@@ -169,21 +169,30 @@ def _specs(dc, bm, bb, n_edge_tensors):
     )
 
 
-def _auto_block_m(block_m, dc, bb, itemsize, n_edge_io):
-    """Largest check-tile height fitting the ~16 MB scoped-VMEM stack.
+def _auto_blocks(block_m, dc, bb, itemsize, n_edge_io):
+    """Largest (check-tile height, batch-tile width) fitting the ~16 MB
+    scoped-VMEM stack.
 
     Per-element VMEM cost ~= IO buffers (n_edge_io * itemsize, counting
     the output) + ~16 bytes of live f32 temporaries (empirical: a 3-IO
     f32 block of 6x512x250 allocates 18 MB = 23.4 B/elem; a 2-IO f32
     block of 6x448x256 allocates 16.3 MB = 23.7 B/elem).  Keeps a 2 MB
-    margin and rounds down to a multiple of 128 (the [dc, bm] mask block
-    puts bm on the lane axis, which Mosaic requires divisible by 128).
+    margin and rounds bm down to a multiple of 128 (the [dc, bm] mask
+    block puts bm on the lane axis, which Mosaic requires divisible by
+    128).  When even bm=128 would blow the budget (high-dc codes at
+    large bb), the batch tile bb is halved until the block fits instead
+    of silently flooring bm over budget (a Mosaic scoped-VMEM failure).
     """
     budget = 14 * 1024 * 1024
     per_elem = n_edge_io * itemsize + 16
-    bm_max = budget // (dc * bb * per_elem)
-    bm = min(block_m, max(128, (bm_max // 128) * 128))
-    return bm
+
+    def bm_for(bb_):
+        return (budget // (dc * bb_ * per_elem) // 128) * 128
+
+    while bm_for(bb) < 128 and bb > 8:
+        bb = max(8, bb // 2)
+    bm = min(block_m, max(128, bm_for(bb)))
+    return bm, bb
 
 
 @partial(jax.jit, static_argnames=("threshold", "clip", "block_m", "block_b",
@@ -205,8 +214,8 @@ def check_update_pallas(
 ) -> jax.Array:
     """First-iteration check update as a Pallas TPU kernel ([dc, M, B])."""
     dc, M, B = Lq.shape
-    bb = min(block_b, B)
-    bm = min(_auto_block_m(block_m, dc, bb, Lq.dtype.itemsize, 2), M)
+    bm, bb = _auto_blocks(block_m, dc, min(block_b, B), Lq.dtype.itemsize, 2)
+    bm = min(bm, M)
     kernel = partial(_check_kernel, threshold=threshold, clip=clip, dc=dc,
                      algorithm=algorithm, alpha=min_sum_alpha,
                      beta=min_sum_beta, scale=scale)
@@ -241,8 +250,10 @@ def fused_update_pallas(
 ) -> jax.Array:
     """Fused bit-node update + check update ([dc, M, B] -> [dc, M, B])."""
     dc, M, B = Lr_prev.shape
-    bb = min(block_b, B)
-    bm = min(_auto_block_m(block_m, dc, bb, Lr_prev.dtype.itemsize, 3), M)
+    bm, bb = _auto_blocks(
+        block_m, dc, min(block_b, B), Lr_prev.dtype.itemsize, 3
+    )
+    bm = min(bm, M)
     kernel = partial(_fused_kernel, threshold=threshold, clip=clip, dc=dc,
                      algorithm=algorithm, alpha=min_sum_alpha,
                      beta=min_sum_beta, scale=scale)
@@ -305,8 +316,10 @@ def fused_update_fresh_pallas(
 ) -> jax.Array:
     """Fused update with per-lane restart semantics (continuation runner)."""
     dc, M, B = Lr_prev.shape
-    bb = min(block_b, B)
-    bm = min(_auto_block_m(block_m, dc, bb, Lr_prev.dtype.itemsize, 3), M)
+    bm, bb = _auto_blocks(
+        block_m, dc, min(block_b, B), Lr_prev.dtype.itemsize, 3
+    )
+    bm = min(bm, M)
     kernel = partial(_fused_kernel_fresh, threshold=threshold, clip=clip,
                      dc=dc, algorithm=algorithm, alpha=min_sum_alpha,
                      beta=min_sum_beta, scale=scale)

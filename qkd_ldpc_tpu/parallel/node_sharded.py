@@ -10,8 +10,15 @@ targets tighter than one chip's decode) scale over ICI.
 Design (the sharding recipe, scaling-book style):
 
 - All per-variable state lives on the owning shard in **variable-major**
-  layout: a-priori LLRs ``llr[Nl, B]``, messages ``Lq[Nl, dv_max, B]``,
-  totals, hard decisions.  There is no check-major message tensor at all.
+  layout: a-priori LLRs ``llr[Nl, B]``, check->bit messages
+  ``Lr[Nl, dv_max, B]``, totals, hard decisions.  There is no
+  check-major message tensor at all.  The loop carries ``(total, Lr)``
+  and recomputes ``Lq = clip(total - Lr)`` in-register (round 3) — the
+  same fused-update treatment the single-chip kernel uses
+  (decoder.pallas_kernels), so the bit-to-check messages never
+  round-trip through HBM *and* the storage-dtype rounding points
+  (totals and Lr round through ``message_dtype``; Lq never does) are
+  exactly the single-chip loop's.
 - A check node's update needs a product over *all* its incident edges,
   which straddle shards.  Each shard reduces its local edges into
   per-check partial sums — log|tanh| sums, sign-bit counts, and (for the
@@ -42,10 +49,13 @@ Semantics are identical to the single-chip decoder
 (:func:`qkd_ldpc_tpu.decoder.bp.bp_decode_batch_last`): same update
 order, same early-exit iteration bookkeeping (reference
 ``src/qkd_ldpc_algorithm.cpp:105-126``), same clamp placement
-(``:74-77,141-144``).  Min-sum is bit-identical on any mesh (its
-reductions are exactly associative); sum-product's distributed log-sum
-matches the single-chip product formulation to f32 rounding, with
-decision/iteration equality asserted on the test fixtures.
+(``:74-77,141-144``), same peeled unclipped first iteration, and —
+since the round-3 ``(total, Lr)`` carry — the same storage-dtype
+quantization points for bfloat16 messages.  Min-sum is bit-identical
+on any mesh (its reductions are exactly associative and its inputs now
+round identically); sum-product's distributed log-sum matches the
+single-chip product formulation to f32 rounding, with decision/
+iteration equality asserted on the test fixtures.
 """
 
 from __future__ import annotations
@@ -93,16 +103,27 @@ def bp_decode_node_sharded(
     B = llr.shape[1]
     n_pad = (-N) % n_node
     dtype = llr.dtype
-    # Storage dtype of the carried edge messages (decoder.bp's
-    # message_dtype contract): compute stays in `dtype`, only the carried
-    # Lq rounds through bf16.  int8 fixed-point storage is a single-chip
-    # fast mode (decoder.bp) — its quantization points differ from this
-    # decoder's var-major carry, so refusing beats a silent mismatch.
-    if opts.message_dtype == "int8":
-        raise NotImplementedError(
-            "node-sharded decoding supports float32/bfloat16 messages"
-        )
-    mdt = jnp.bfloat16 if opts.message_dtype == "bfloat16" else dtype
+    # Storage dtype of the carried state (decoder.bp's message_dtype
+    # contract): totals and Lr round through the storage dtype, compute
+    # stays in `dtype`, Lq is recomputed in-register and never stored —
+    # the exact quantization points of the single-chip fused loop
+    # (decoder.bp._DecodeCore), for bf16 AND int8 fixed-point.
+    if opts.message_dtype == "bfloat16":
+        mdt, scale = jnp.bfloat16, None
+    elif opts.message_dtype == "int8":
+        mdt, scale = jnp.int8, opts.int8_scale
+    else:
+        mdt, scale = dtype, None
+
+    def to_storage(x):
+        if scale is None:
+            return x.astype(mdt)
+        return jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+
+    def from_storage(q):
+        if scale is None:
+            return q.astype(dtype)
+        return q.astype(dtype) * scale
 
     var_adj = jnp.asarray(code.var_adj)
     var_mask = jnp.asarray(code.var_mask)
@@ -235,42 +256,57 @@ def bp_decode_node_sharded(
             else check_to_var_sum_product
         )
 
-        def body(carry):
-            Lq, z_out, iters, done, it = carry
+        def check_update(Lq):
+            """f32 bit->check messages -> storage-rounded check->bit."""
+            return to_storage(clip_msgs(check_to_var(Lq)))
 
-            Lr = clip_msgs(check_to_var(Lq.astype(dtype))).astype(mdt)
-            Lr_f = Lr.astype(dtype)
-            total = llr_s + jnp.sum(jnp.where(mask3, Lr_f, 0.0), axis=1)
+        def after_check(Lr):
+            """Totals (storage-rounded), decisions, decision syndrome —
+            the var-major mirror of decoder.bp._DecodeCore.after_check."""
+            Lr_f = from_storage(Lr)
+            total = to_storage(
+                llr_s + jnp.sum(jnp.where(mask3, Lr_f, 0.0), axis=1)
+            )
             z = (total <= 0).astype(jnp.int8)
-
             # Decision syndrome: local parity partials -> psum.
             z_edge = jnp.where(mask3, z[:, None, :].astype(jnp.int32), 0)
-            syn_partial = seg_sum(z_edge)
-            syn_hat = jax.lax.psum(syn_partial, NODE_AXIS) & 1
+            syn_hat = jax.lax.psum(seg_sum(z_edge), NODE_AXIS) & 1
             ok = jnp.all(syn_hat == syn, axis=0)  # [B], identical on shards
+            return total, z, ok
+
+        # Peeled iteration 1: check inputs are the storage-rounded but
+        # UNCLIPPED a-priori LLRs (reference qkd_ldpc_algorithm.cpp:10-18;
+        # same peel as the single-chip loop).
+        Bl = llr_s.shape[1]
+        Lq0 = jnp.broadcast_to(
+            from_storage(to_storage(llr_s))[:, None, :], (Nl, dv, Bl)
+        )
+        Lr1 = check_update(Lq0)
+        tot1, z1, ok1 = after_check(Lr1)
+        init = (tot1, Lr1, z1, jnp.ones((Bl,), jnp.int32), ok1,
+                jnp.asarray(1, jnp.int32))
+
+        def body(carry):
+            total, Lr, z_out, iters, done, it = carry
+            # Fused bit-node update: Lq recomputed in-register, clipped at
+            # consumption (identical math to materializing it).
+            Lq = clip_msgs(
+                from_storage(total)[:, None, :] - from_storage(Lr)
+            )
+            Lr_new = check_update(Lq)
+            tot_new, z, ok = after_check(Lr_new)
 
             active = jnp.logical_not(done)
             z_out = jnp.where(active[None, :], z, z_out)
             iters = jnp.where(active, it + 1, iters)
             done = jnp.logical_or(done, ok)
-
-            Lq_new = clip_msgs(total[:, None, :] - Lr_f).astype(mdt)
-            return Lq_new, z_out, iters, done, it + 1
+            return tot_new, Lr_new, z_out, iters, done, it + 1
 
         def cond(carry):
-            _, _, _, done, it = carry
+            *_, done, it = carry
             return jnp.logical_and(it < opts.max_iterations, ~jnp.all(done))
 
-        Bl = llr_s.shape[1]
-        Lq0 = jnp.broadcast_to(llr_s[:, None, :], (Nl, dv, Bl)).astype(mdt)
-        init = (
-            Lq0,
-            jnp.zeros((Nl, Bl), jnp.int8),
-            jnp.zeros((Bl,), jnp.int32),
-            jnp.zeros((Bl,), bool),
-            jnp.asarray(0, jnp.int32),
-        )
-        _, z_out, iters, done, _ = jax.lax.while_loop(cond, body, init)
+        *_, z_out, iters, done, _ = jax.lax.while_loop(cond, body, init)
         iters = jnp.where(done, iters, opts.max_iterations)
         return z_out, iters, done
 

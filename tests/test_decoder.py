@@ -295,14 +295,13 @@ def test_int8_messages_close_to_f32(medium_code):
     )
 
 
-def test_int8_rejected_on_node_sharded(medium_code):
-    from qkd_ldpc_tpu.parallel import decode_node_sharded, make_mesh
-
-    opts = DecodeOptions(message_dtype="int8")
-    llr = jnp.ones((4, medium_code.n_vars), jnp.float32)
-    syn = jnp.zeros((4, medium_code.n_checks), jnp.int8)
-    with pytest.raises(NotImplementedError):
-        decode_node_sharded(medium_code, llr, syn, opts, make_mesh(n_trial=4, n_node=2))
+def test_max_iterations_validated():
+    """max_iterations < 1 must be rejected (the peeled first iteration
+    always runs, so a cap of 0 would report iterations=1 > cap)."""
+    with pytest.raises(ValueError):
+        DecodeOptions(max_iterations=0)
+    with pytest.raises(ValueError):
+        DecodeOptions(max_iterations=-3)
 
 
 def test_tight_message_threshold_matches_oracle(medium_code):

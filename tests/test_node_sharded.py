@@ -116,12 +116,20 @@ def test_node_sharded_min_sum_forced_tie(medium_code):
 
 
 @pytest.mark.parametrize("algorithm", ["sum-product", "min-sum"])
-def test_node_sharded_bf16_messages(medium_code, algorithm):
-    """message_dtype='bfloat16' matches the single-chip bf16 decoder on the
-    node-sharded path (decisions + iteration counts)."""
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_node_sharded_quantized_messages(medium_code, algorithm, dtype):
+    """Quantized message storage matches the single-chip decoder on the
+    node-sharded path (decisions + iteration counts).
+
+    The round-3 (total, Lr) carry gives the node-sharded loop the SAME
+    quantization points as the single-chip fused loop — totals and Lr
+    round through the storage dtype, Lq never does — so min-sum equality
+    here is structural (exact reductions over identically-rounded
+    inputs), not fixture luck; sum-product remains subject to the f32
+    cross-formulation rounding caveat on other inputs."""
     mesh = make_mesh(n_trial=2, n_node=4)
     opts = DecodeOptions(
-        algorithm=algorithm, max_iterations=60, message_dtype="bfloat16"
+        algorithm=algorithm, max_iterations=60, message_dtype=dtype
     )
     _, llr, syn = _trial_llr_syn(medium_code, 0.03, batch=16, seed=5)
     ref = decode(medium_code, llr, syn, opts)
