@@ -16,6 +16,7 @@ from qkd_ldpc_tpu.codes.ldpc_code import (
     from_check_adjacency,
     from_dense,
 )
+from qkd_ldpc_tpu.codes.qc import make_qc_code
 
 
 def load_code(path: str | Path, dense: bool | None = None) -> LDPCCode:
@@ -54,6 +55,7 @@ __all__ = [
     "read_dense",
     "write_dense",
     "make_code",
+    "make_qc_code",
     "load_code",
     "list_matrix_files",
 ]

@@ -56,6 +56,11 @@ class LDPCCode:
     n_edges: int = dataclasses.field(metadata=dict(static=True))
     is_regular: bool = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(default="", metadata=dict(static=True))
+    # Quasi-cyclic layout (codes.qc): (z, chk_plan, var_plan) nested int
+    # tuples, or None for unstructured codes.  Static — it selects the
+    # decoder's routing *program* (unrolled compile-time rolls), so it
+    # must key the jit cache.
+    qc: tuple | None = dataclasses.field(default=None, metadata=dict(static=True))
 
     # --- adjacency tensors (leaves) ---------------------------------------
     chk_adj: np.ndarray = None  # [M, dc_max] int32, var index per check slot

@@ -100,6 +100,12 @@ class DecodeOptions:
     # "xla" (fused jnp, same dc-first math), or "auto" (pallas on TPU,
     # xla otherwise — pallas interpret mode on CPU is debug-only slow).
     backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # Message routing between the check- and variable-major layouts:
+    # "roll" uses static block-rolls (contiguous slice-copies — only
+    # valid for QC codes, codes.qc), "gather" the general permutation
+    # gathers, "auto" rolls whenever the code carries a QC layout.
+    # Bit-identical trajectories either way (decoder.qc_routing).
+    routing: str = "auto"  # "auto" | "gather" | "roll"
 
     def __post_init__(self):
         if self.max_iterations < 1:
@@ -115,6 +121,8 @@ class DecodeOptions:
             raise ValueError("int8_scale must be > 0")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"Unknown backend {self.backend!r}")
+        if self.routing not in ("auto", "gather", "roll"):
+            raise ValueError(f"Unknown routing {self.routing!r}")
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -224,6 +232,11 @@ class _DecodeCore:
         self.scale = opts.int8_scale if opts.message_dtype == "int8" else None
         self.chk_adj_T, self.chk_mask_T, self.var_slot_T = dc_first_maps(code)
         self.threshold = jnp.asarray(opts.message_threshold, dtype)
+        # Roll routing: static block-rolls instead of permutation gathers
+        # (QC codes only; bit-identical trajectories — decoder.qc_routing).
+        if opts.routing == "roll" and code.qc is None:
+            raise ValueError("routing='roll' requires a QC code (codes.qc)")
+        self.qc = code.qc if opts.routing in ("auto", "roll") else None
 
     def clip_msgs(self, x):
         if self.opts.clip_messages:
@@ -245,8 +258,26 @@ class _DecodeCore:
 
     def gather_chk(self, x):
         """[N, B] -> [dc, M, B] via the check adjacency."""
+        if self.qc is not None:
+            from qkd_ldpc_tpu.decoder.qc_routing import qc_gather_chk
+
+            return qc_gather_chk(x, self.qc, self.dc, self.B)
         return jnp.take(x, self.chk_adj_T.reshape(-1), axis=0).reshape(
             self.dc, self.M, self.B
+        )
+
+    def route_var(self, Lr):
+        """[dc, M, B] check messages -> [dv, N, B] variable-major."""
+        if self.qc is not None:
+            from qkd_ldpc_tpu.decoder.qc_routing import qc_route_var
+
+            return qc_route_var(Lr, self.qc, self.dv, self.B)
+        flat = jnp.concatenate(
+            [Lr.reshape(self.dc * self.M, self.B),
+             jnp.zeros((1, self.B), Lr.dtype)], axis=0
+        )
+        return jnp.take(flat, self.var_slot_T.reshape(-1), axis=0).reshape(
+            self.dv, self.N, self.B
         )
 
     def check_update_first(self, Lq, syn_sign):
@@ -325,11 +356,7 @@ class _DecodeCore:
         rounded totals (z on the variable side, parities on the gathered
         check side), so they are exactly consistent.
         """
-        dc, M, dv, N, B = self.dc, self.M, self.dv, self.N, self.B
-        flat = jnp.concatenate(
-            [Lr.reshape(dc * M, B), jnp.zeros((1, B), Lr.dtype)], axis=0
-        )
-        Lr_var = jnp.take(flat, self.var_slot_T.reshape(-1), axis=0).reshape(dv, N, B)
+        Lr_var = self.route_var(Lr)
         total = self.to_storage(llr + jnp.sum(self.from_storage(Lr_var), axis=0))
         z = (total <= 0).astype(jnp.int8)  # total <= 0 -> bit 1
         tot_chk = self.gather_chk(total)

@@ -21,11 +21,28 @@ family (Krawczyk; Mauerer et al.): ``T[i, j] = s[i - j + n - 1]`` from a
 shared random seed sequence of n + k - 1 bits, so the classical channel
 carries only the seed.  TPU-natively the GF(2) matvec runs on the MXU:
 bf16 0/1 operands, f32 accumulation (exact — row sums are bounded by n
-<< 2^24), parity taken mod 2.  One [B, n] x [n, k] matmul hashes a whole
-batch of frames.
+<< 2^24), parity taken mod 2.
+
+Two evaluation paths, bit-identical (same seed stream, same matrix —
+tests/test_postprocess.py):
+
+- **dense** — materialize T once, one [B, n] x [n, k] matmul.  Right for
+  tag-sized outputs and small frames; at production frame sizes the
+  matrix itself is the problem (N=262,144 -> a [~125k, 262k] bf16 T is
+  ~61 GB: cannot exist on device).
+- **blocked** (round 3) — stream T through VMEM one [bo, bi] Toeplitz
+  block at a time: each block is a static-pattern gather from a
+  (bo + bi - 1)-slice of the seed sequence, immediately consumed by an
+  MXU matmul and discarded.  Peak memory is O(n + bo*bi + k*B)
+  regardless of frame size; per-block row sums (<= bi) and the f32
+  accumulation across blocks (<= n < 2^24) are exact integers, so the
+  parity is exact.  This is what lets amplification run at the frame
+  sizes the decoder itself serves (benchmarks/frame_scale.py).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -55,11 +72,103 @@ def _hash_apply(T: jax.Array, bits: jax.Array) -> jax.Array:
     return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
-def toeplitz_hash(bits: jax.Array, seed_key: jax.Array, n_out: int) -> jax.Array:
-    """Hash key frames [B, n] (or [n]) to [B, n_out] (or [n_out]) bits."""
+@partial(jax.jit, static_argnames=("n_in", "n_out", "bo", "bi"))
+def _hash_apply_blocked(
+    s: jax.Array,  # [n_in + n_out - 1] seed bits (the classical message)
+    bits: jax.Array,  # [B, n_in] uint8
+    n_in: int,
+    n_out: int,
+    bo: int,  # output-rows per block
+    bi: int,  # input-cols per block (tall: amortizes the block build)
+) -> jax.Array:
+    """Streaming block-Toeplitz hash: T is never materialized.
+
+    T[i, j] = s[i - j + n_in - 1]; block (I, J) of shape [bo, bi] is the
+    SAME static gather pattern applied to a sliding (bo + bi - 1)-slice
+    of s, built in VMEM-sized pieces and consumed by one MXU matmul
+    each.  Exact: per-block row sums <= bi, f32 accumulation across
+    blocks <= n_in < 2^24.
+    """
+    B = bits.shape[0]
+    nI = -(-n_out // bo)
+    nJ = -(-n_in // bi)
+    # Zero-pad s so every block's (bo + bi - 1)-slice is in-bounds: bi
+    # zeros in front (left-edge partial blocks), the tail covers
+    # right-edge partial blocks.  Out-of-range T entries multiply the
+    # zero-padding of x or land in discarded rows, so their value is
+    # irrelevant — only the slice bounds matter.
+    s_ext = jnp.concatenate([
+        jnp.zeros((bi,), s.dtype), s,
+        jnp.zeros((max(nI * bo - n_out, 0) + bo,), s.dtype),
+    ])
+    x = jnp.pad(bits, ((0, 0), (0, nJ * bi - n_in))).astype(jnp.bfloat16)
+    xT = x.T.reshape(nJ, bi, B)  # [nJ, bi, B] chunked frames
+
+    # Static intra-block Toeplitz gather pattern: local[a - b + bi - 1].
+    a = jnp.arange(bo)[:, None]
+    b = jnp.arange(bi)[None, :]
+    pat = (a - b + bi - 1).reshape(-1)  # [bo*bi] in [0, bo + bi - 1)
+
+    def row_block(I):
+        def body(acc, J):
+            # Block (I, J) holds s[I*bo + a - (J*bi + b) + n_in - 1]
+            # = s_ext[start + a - b + bi - 1], start = I*bo - J*bi + n_in.
+            start = I * bo - J * bi + n_in
+            local = jax.lax.dynamic_slice(s_ext, (start,), (bo + bi - 1,))
+            Tb = jnp.take(local, pat, axis=0).reshape(bo, bi).astype(
+                jnp.bfloat16
+            )
+            acc = acc + jax.lax.dot_general(
+                Tb, xT[J], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((bo, B), jnp.float32),
+            jnp.arange(nJ, dtype=jnp.int32),
+        )
+        return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+
+    y = jax.lax.map(row_block, jnp.arange(nI, dtype=jnp.int32))  # [nI, bo, B]
+    return y.reshape(nI * bo, B)[:n_out].T
+
+
+# Above this many T entries the dense path materializes an unreasonable
+# matrix (2^26 bf16 = 128 MB) and the streaming path takes over.
+_DENSE_LIMIT = 1 << 26
+
+
+def toeplitz_hash(
+    bits: jax.Array,
+    seed_key: jax.Array,
+    n_out: int,
+    block_out: int = 512,
+    block_in: int = 8192,
+    method: str = "auto",  # "auto" | "dense" | "blocked"
+) -> jax.Array:
+    """Hash key frames [B, n] (or [n]) to [B, n_out] (or [n_out]) bits.
+
+    ``method='auto'`` uses the dense matmul for tag-sized work and the
+    streaming block-Toeplitz path once T would exceed ~128 MB; both
+    paths produce bit-identical output for the same seed.
+    """
     arr = jnp.atleast_2d(jnp.asarray(bits, jnp.uint8))
-    T = toeplitz_matrix(seed_key, arr.shape[-1], n_out)
-    out = _hash_apply(T, arr)
+    n_in = arr.shape[-1]
+    if method == "auto":
+        method = "dense" if n_in * n_out <= _DENSE_LIMIT else "blocked"
+    if method == "dense":
+        T = toeplitz_matrix(seed_key, n_in, n_out)
+        out = _hash_apply(T, arr)
+    elif method == "blocked":
+        s = jax.random.bernoulli(seed_key, 0.5, (n_in + n_out - 1,)).astype(
+            jnp.bfloat16
+        )
+        out = _hash_apply_blocked(
+            s, arr, n_in, n_out, min(block_out, n_out), min(block_in, n_in)
+        )
+    else:
+        raise ValueError(f"Unknown method {method!r}")
     return out[0] if jnp.asarray(bits).ndim == 1 else out
 
 

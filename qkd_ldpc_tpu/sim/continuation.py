@@ -52,19 +52,24 @@ from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
 from qkd_ldpc_tpu.sim.stats import PointPartials, partials_from_stacked
 
 
-@partial(jax.jit, static_argnames=("batch", "segment", "refill_min", "opts"))
-def _continuation_point(
+def _continuation_core(
     code: LDPCCode,
     point_key: jax.Array,
     num_errors: jax.Array,  # scalar int32
-    trials: jax.Array,  # scalar int32
+    trials: jax.Array,  # scalar int32: trials processed by THIS pool
+    trial_offset: jax.Array,  # scalar int32: first global trial id
     batch: int,
     segment: int,
     refill_min: int,
     opts: DecodeOptions,
 ) -> jax.Array:
-    """All trials of one sweep point with lane continuation; returns the
-    stacked [7] int32 stat vector (single device fetch)."""
+    """Trials [trial_offset, trial_offset + trials) of one sweep point
+    with lane continuation; returns the stacked [7] int32 stat vector.
+
+    ``trial_offset`` exists for the sharded composition: trial ids are
+    global (the determinism contract keys every trial's data to
+    fold_in(point_key, id), so a pool's statistics depend only on WHICH
+    ids it owns, not where they run)."""
     N, M = code.n_vars, code.n_checks
     dtype = jnp.float32
     core = _DecodeCore(code, opts, dtype, batch)
@@ -95,7 +100,9 @@ def _continuation_point(
         stage = st[11]
         llr_s, syn_s, alice_s, base, pos = stage
         new_base = base + S
-        ids = (new_base + jnp.arange(S, dtype=jnp.int32)).astype(jnp.uint32)
+        ids = (
+            trial_offset + new_base + jnp.arange(S, dtype=jnp.int32)
+        ).astype(jnp.uint32)
         # ids >= trials are generated but never consumed (tail waste of at
         # most one block, amortized across the whole point).
         a_new, b_new = make_trials_from_ids(point_key, N, ids, num_errors)
@@ -251,6 +258,137 @@ def _continuation_point(
     )
     final = jax.lax.while_loop(outer_cond, outer_body, init)
     return jnp.stack(final[13])
+
+
+@partial(jax.jit, static_argnames=("batch", "segment", "refill_min", "opts"))
+def _continuation_point(
+    code: LDPCCode,
+    point_key: jax.Array,
+    num_errors: jax.Array,  # scalar int32
+    trials: jax.Array,  # scalar int32
+    batch: int,
+    segment: int,
+    refill_min: int,
+    opts: DecodeOptions,
+) -> jax.Array:
+    """Single-device continuation point (stacked [7] int32 stats)."""
+    return _continuation_core(
+        code, point_key, num_errors, trials, jnp.asarray(0, jnp.int32),
+        batch, segment, refill_min, opts,
+    )
+
+
+@partial(jax.jit, static_argnames=("batch", "segment", "refill_min", "opts",
+                                   "mesh"))
+def _continuation_point_mesh(
+    code: LDPCCode,
+    point_key: jax.Array,
+    num_errors: jax.Array,  # scalar int32
+    trials: jax.Array,  # scalar int32 (GLOBAL trial count)
+    batch: int,  # lanes PER DEVICE
+    segment: int,
+    refill_min: int,
+    opts: DecodeOptions,
+    mesh,
+) -> jax.Array:
+    """Continuation point sharded over the ``trial`` mesh axis.
+
+    Each device runs an independent lane pool over a contiguous global
+    trial-id range (balanced split); the seven partials merge with one
+    psum/pmin/pmax.  Because a trial's data and trajectory depend only on
+    its global id (fold_in determinism) and all reductions are order-
+    independent, the merged statistics are BIT-IDENTICAL to the plain
+    runner's and to single-device continuation
+    (tests/test_continuation.py::test_sharded_continuation_*).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from qkd_ldpc_tpu.parallel.mesh import TRIAL_AXIS
+
+    n_shards = mesh.shape[TRIAL_AXIS]
+
+    def shard_fn(code, point_key, num_errors, trials):
+        s = jax.lax.axis_index(TRIAL_AXIS)
+        q, r = trials // n_shards, trials % n_shards
+        lo = s * q + jnp.minimum(s, r)
+        n_local = q + (s < r).astype(jnp.int32)
+        stacked = _continuation_core(
+            code, point_key, num_errors, n_local, lo,
+            batch, segment, refill_min, opts,
+        )
+        sums = jax.lax.psum(stacked[:5], TRIAL_AXIS)
+        mn = jax.lax.pmin(stacked[5], TRIAL_AXIS)
+        mx = jax.lax.pmax(stacked[6], TRIAL_AXIS)
+        return jnp.concatenate([sums, mn[None], mx[None]])
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(code, point_key, num_errors, trials)
+
+
+def run_point_continuation_sharded(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,  # lanes per device
+    opts: DecodeOptions,
+    mesh,
+    segment: int = 4,
+    refill_frac: float = 0.25,
+    tick: Callable[[int], None] | None = None,
+) -> tuple[PointPartials, float]:
+    """All trials of one point with per-device continuation lane pools.
+
+    Statistics bit-identical to :func:`run_point_continuation` and to the
+    plain (sharded or single-device) runner.
+    """
+    futures, actual = dispatch_point_continuation_sharded(
+        code, point_key, qber, trials, batch, opts, mesh,
+        segment=segment, refill_frac=refill_frac,
+    )
+    total = PointPartials().merge(
+        partials_from_stacked(jax.device_get(futures[0]))
+    )
+    if tick is not None:
+        tick(total.n_trials)
+    return total, actual
+
+
+def dispatch_point_continuation_sharded(
+    code: LDPCCode,
+    point_key: jax.Array,
+    qber: float,
+    trials: int,
+    batch: int,
+    opts: DecodeOptions,
+    mesh,
+    segment: int = 4,
+    refill_frac: float = 0.25,
+) -> tuple[list, float]:
+    """Dispatch-without-fetch form (futures protocol of
+    sim.runner._dispatch_point, so batch_simulation pipelines it)."""
+    n_err = num_errors_for(code.n_vars, qber)
+    if n_err == 0:
+        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
+    mi2 = max(opts.max_iterations, 1) ** 2
+    if trials * mi2 > 2**31 - 1:
+        raise ValueError(
+            f"trials ({trials}) x max_iterations^2 ({opts.max_iterations}^2) "
+            "overflows the int32 iteration statistics accumulated on device; "
+            "lower continuation_qber or trials_number"
+        )
+    want = max(1, int(batch * refill_frac))
+    refill_min = next(d for d in range(want, 0, -1) if batch % d == 0)
+    future = _continuation_point_mesh(
+        code, point_key, jnp.asarray(n_err, jnp.int32),
+        jnp.asarray(trials, jnp.int32), batch, segment, refill_min, opts,
+        mesh,
+    )
+    return [future], n_err / code.n_vars
 
 
 def run_point_continuation(

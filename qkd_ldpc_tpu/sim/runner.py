@@ -411,12 +411,6 @@ def batch_simulation(
         from qkd_ldpc_tpu.parallel.mesh import make_trial_mesh
 
         mesh = make_trial_mesh()
-        if cfg.continuation_qber > 0:
-            print(
-                "note: continuation batching is single-device; waterfall "
-                "points use the sharded plain runner on this "
-                f"{jax.device_count()}-device mesh instead."
-            )
 
     total_trials = sum(len(si.qber) for si in sim_inputs) * cfg.trials_number
     bar = ProgressBar(total_trials, enabled=progress)
@@ -447,10 +441,15 @@ def batch_simulation(
     for si in sim_inputs:
         batch = auto_batch_size(cfg, si.code)
         if mesh is not None:
+            from qkd_ldpc_tpu.parallel.mesh import replicated
             from qkd_ldpc_tpu.parallel.sweep import make_point_dispatcher
 
             mesh_dispatch = make_point_dispatcher(si.code, batch, opts, mesh)
-            code_dev = None
+            # Continuation points reuse a mesh-replicated code copy.
+            code_dev = (
+                jax.device_put(si.code, replicated(mesh))
+                if cfg.continuation_qber > 0 else None
+            )
         else:
             mesh_dispatch = None
             code_dev = si.code.to_device()  # upload adjacency once per matrix
@@ -462,11 +461,26 @@ def batch_simulation(
                 continue
 
             point_key = jax.random.fold_in(master, sim_number)
-            if mesh_dispatch is not None:
+            continuation = (
+                cfg.continuation_qber > 0 and qber >= cfg.continuation_qber
+            )
+            if mesh is not None and continuation:
+                # Waterfall point on a mesh: per-device continuation lane
+                # pools over disjoint global trial-id ranges — statistics
+                # bit-identical to every other runner path.
+                from qkd_ldpc_tpu.sim.continuation import (
+                    dispatch_point_continuation_sharded,
+                )
+
+                futures, actual_qber = dispatch_point_continuation_sharded(
+                    code_dev, point_key, qber, cfg.trials_number, batch,
+                    opts, mesh,
+                )
+            elif mesh_dispatch is not None:
                 futures, actual_qber = mesh_dispatch(
                     point_key, qber, cfg.trials_number
                 )
-            elif cfg.continuation_qber > 0 and qber >= cfg.continuation_qber:
+            elif continuation:
                 futures, actual_qber = _dispatch_point_continuation(
                     code_dev, point_key, qber, cfg.trials_number, batch, opts
                 )

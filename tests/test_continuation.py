@@ -133,3 +133,77 @@ def test_continuation_randomized_config_fuzz(wf_code):
             segment=segment, refill_frac=refill_frac,
         )
         assert p1 == p2, (trials, batch, segment, refill_frac, qber, opts)
+
+
+# ---------------------------------------------------------------------------
+# Continuation x mesh composition (round 3): per-device lane pools over
+# disjoint global trial-id ranges, partials merged via psum/pmin/pmax.
+
+
+def test_sharded_continuation_matches_plain(wf_code):
+    """8-device trial mesh: sharded continuation == plain runner ==
+    single-device continuation, all seven partials bit-equal."""
+    from qkd_ldpc_tpu.parallel.mesh import make_trial_mesh
+    from qkd_ldpc_tpu.sim.continuation import run_point_continuation_sharded
+
+    mesh = make_trial_mesh()
+    opts = DecodeOptions(max_iterations=30)
+    key = jax.random.fold_in(jax.random.PRNGKey(777), 7)
+    p1, q1 = run_point(wf_code, key, 0.075, trials=70, batch=70, opts=opts)
+    p2, q2 = run_point_continuation(
+        wf_code, key, 0.075, trials=70, batch=16, opts=opts, segment=3,
+    )
+    p3, q3 = run_point_continuation_sharded(
+        wf_code, key, 0.075, trials=70, batch=8, opts=opts, mesh=mesh,
+        segment=3,
+    )
+    assert q1 == q2 == q3
+    _assert_equal(p1, p2)
+    _assert_equal(p1, p3)
+    assert p3.n_trials == 70
+
+
+def test_sharded_continuation_uneven_split(wf_code):
+    """Trial count not divisible by the shard count (balanced split with
+    remainder) and fewer trials than lanes on some shards."""
+    from qkd_ldpc_tpu.parallel.mesh import make_trial_mesh
+    from qkd_ldpc_tpu.sim.continuation import run_point_continuation_sharded
+
+    mesh = make_trial_mesh()
+    opts = DecodeOptions(max_iterations=25, message_dtype="bfloat16")
+    key = jax.random.fold_in(jax.random.PRNGKey(5), 3)
+    p1, _ = run_point(wf_code, key, 0.06, trials=13, batch=13, opts=opts)
+    p2, _ = run_point_continuation_sharded(
+        wf_code, key, 0.06, trials=13, batch=4, opts=opts, mesh=mesh,
+        segment=2,
+    )
+    _assert_equal(p1, p2)
+
+
+def test_batch_simulation_mesh_continuation_crossover(wf_code, tmp_path):
+    """batch_simulation on a multi-device host with continuation_qber set:
+    waterfall points route through SHARDED continuation and the CSV rows
+    are identical to the plain mesh path (the round-2 note that
+    continuation was single-device is gone)."""
+    import dataclasses as dc
+
+    from qkd_ldpc_tpu.config import Config
+    from qkd_ldpc_tpu.sim.runner import SimInput, batch_simulation
+
+    base = Config(
+        threads_number=1, trials_number=24, simulation_seed=11,
+        sum_product_max_iterations=25,
+        r_qber_parameters=(),
+        checkpoint_dir="", use_mesh=True,
+    )
+    si = [SimInput(code=wf_code, matrix_filename="wf.txt",
+                   qber=[0.03, 0.075])]
+    res_plain = batch_simulation(
+        si, dc.replace(base, continuation_qber=0.0), progress=False
+    )
+    res_cont = batch_simulation(
+        si, dc.replace(base, continuation_qber=0.07), progress=False
+    )
+    assert len(res_plain) == len(res_cont) == 2
+    for a, b in zip(res_plain, res_cont):
+        assert a == b, (a, b)

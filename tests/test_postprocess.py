@@ -106,3 +106,46 @@ def test_end_to_end_with_reconciler(medium_code):
     fk_alice = np.asarray(privacy_amplify(jnp.asarray(alice), pkey, k_final))
     np.testing.assert_array_equal(fk_bob, fk_alice)  # identical final keys
     assert fk_bob.shape == (8, k_final)
+
+
+def test_blocked_hash_matches_dense():
+    """The streaming block-Toeplitz path (round 3) must equal the dense
+    matmul bit-for-bit for the same seed — across block-boundary
+    misalignments (n_in/n_out not multiples of the block sizes) and
+    n_out > block_out."""
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(42)
+    for n_in, n_out, bo, bi in [
+        (700, 300, 128, 256),   # ragged both axes
+        (512, 512, 512, 512),   # exact single block
+        (1000, 900, 256, 128),  # bi < bo, multiple row blocks
+        (64, 700, 256, 8192),   # n_out > n_in, blocks larger than dims
+    ]:
+        bits = rng.integers(0, 2, (3, n_in), dtype=np.uint8)
+        dense = toeplitz_hash(bits, key, n_out, method="dense")
+        blocked = toeplitz_hash(bits, key, n_out, block_out=bo,
+                                block_in=bi, method="blocked")
+        np.testing.assert_array_equal(
+            np.asarray(dense), np.asarray(blocked), err_msg=str((n_in, n_out))
+        )
+
+
+def test_blocked_hash_large_frame():
+    """Amplify a production-scale frame (the sizes the decoder itself
+    serves, benchmarks/frame_scale.py): the dense T would be ~8 GB here
+    and cannot exist; the streaming path must run and agree with a
+    numpy GF(2) oracle on spot-checked output bits."""
+    n_in = 1 << 17  # 131072
+    n_out = 60_000
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(7)
+    bits = rng.integers(0, 2, (2, n_in), dtype=np.uint8)
+    out = np.asarray(toeplitz_hash(bits, key, n_out, method="blocked"))
+    assert out.shape == (2, n_out)
+    # Oracle: y_i = parity(s[i - j + n_in - 1] * x_j) on a few rows.
+    s = np.asarray(jax.random.bernoulli(key, 0.5, (n_in + n_out - 1,)))
+    j = np.arange(n_in)
+    for i in (0, 1, n_out // 2, n_out - 1):
+        row = s[i - j + n_in - 1].astype(np.uint8)
+        want = (row @ bits.T) & 1
+        np.testing.assert_array_equal(out[:, i], want, err_msg=f"row {i}")
