@@ -50,6 +50,15 @@ def main(argv: list[str] | None = None) -> int:
             help="capture a jax.profiler device trace of the sweep to DIR "
             "(view with TensorBoard / xprof)",
         )
+        # Multi-process (multi-host) bring-up: every process runs the
+        # same CLI; only process 0 writes checkpoints/CSV/progress.
+        p.add_argument(
+            "--coordinator", default="",
+            help="jax.distributed coordinator address host:port "
+            "(multi-process runs; all processes pass the same value)",
+        )
+        p.add_argument("--num-processes", type=int, default=0)
+        p.add_argument("--process-id", type=int, default=-1)
 
     gen = sub.add_parser("generate", help="generate a random LDPC code")
     gen.add_argument("--n", type=int, required=True)
@@ -73,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
         from qkd_ldpc_tpu.utils import enable_compilation_cache
 
         enable_compilation_cache()  # fresh-process sweeps reuse compiles
+
+        if args.coordinator:
+            from qkd_ldpc_tpu.parallel.mesh import initialize_distributed
+
+            kw = dict(coordinator_address=args.coordinator)
+            if args.num_processes:
+                kw["num_processes"] = args.num_processes
+            if args.process_id >= 0:
+                kw["process_id"] = args.process_id
+            initialize_distributed(**kw)
+
+        import jax
+
+        is_coord = jax.process_index() == 0
 
         cfg = load_config(args.config)
         base = Path(args.config).resolve().parent
@@ -98,7 +121,8 @@ def main(argv: list[str] | None = None) -> int:
 
             interactive_simulation(cfg, matrix_dir)
         else:
-            print_mode("BATCH MODE")
+            if is_coord:
+                print_mode("BATCH MODE")
             import contextlib
 
             from qkd_ldpc_tpu.sim import simulate_directory, write_results
@@ -112,16 +136,20 @@ def main(argv: list[str] | None = None) -> int:
                 profile_ctx = jax.profiler.trace(args.profile)
             with profile_ctx:
                 results = simulate_directory(
-                    cfg, matrix_dir, progress=not args.no_progress
+                    cfg, matrix_dir,
+                    progress=not args.no_progress and is_coord,
                 )
-            path = write_results(
-                results,
-                results_dir,
-                cfg.trials_number,
-                cfg.sum_product_max_iterations,
-                cfg.simulation_seed,
-            )
-            print_status(f"The results have been written to: {path}")
+            # Rank-aware IO: every process computes (collectives demand
+            # it), exactly one writes the durable artifacts.
+            if is_coord:
+                path = write_results(
+                    results,
+                    results_dir,
+                    cfg.trials_number,
+                    cfg.sum_product_max_iterations,
+                    cfg.simulation_seed,
+                )
+                print_status(f"The results have been written to: {path}")
     except Exception as e:  # match reference main()'s catch-all exit(1)
         print_error(f"ERROR: {e}")
         return 1

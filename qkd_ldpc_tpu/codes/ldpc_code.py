@@ -72,6 +72,27 @@ class LDPCCode:
     var_deg: np.ndarray = None  # [N] int32  (bit_nodes_weight)
     chk_deg: np.ndarray = None  # [M] int32  (check_nodes_weight)
 
+    @cached_property
+    def fingerprint(self) -> str:
+        """Content hash of the parity-check graph (shape + every edge).
+
+        Two codes with equal fingerprints define the same H, regardless
+        of provenance (alist file, generator, device copy).  Serving
+        endpoints bind adapters to codes by this — a shape-only check
+        would accept a different code of the same size and silently
+        garble keys.
+        """
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(f"{self.n_vars},{self.n_checks},{self.dc_max}".encode())
+        h.update(np.ascontiguousarray(np.asarray(self.chk_deg)).tobytes())
+        adj = np.asarray(self.chk_adj)
+        h.update(np.ascontiguousarray(
+            np.where(np.asarray(self.chk_mask), adj, -1)
+        ).tobytes())
+        return h.hexdigest()[:16]
+
     @property
     def code_rate(self) -> float:
         """R = 1 - M/N, as derived throughout the reference

@@ -87,9 +87,20 @@ def blind_reconcile(
     iters = np.zeros((B,), np.int32)
     revealed = 0
     key_idx = jnp.asarray(adapter.key_idx)
+    # Frozen decisions of verified frames ([B, N]); once a frame
+    # verifies, later rounds decode it from its pinned decisions — it
+    # converges on the peeled first iteration and stops extending the
+    # batch's while_loop (round-2 weakness: every round re-ran verified
+    # frames' full trajectories).  Detection/iteration bookkeeping only
+    # ever reads a frame's FIRST verifying round, so results are
+    # unchanged (tested: test_blind_freeze_semantics).
+    frozen_llr = None
 
     for r in range(n_rounds + 1):
-        res = decode(adapter.code, llr, syn, opts)
+        llr_use = llr if frozen_llr is None else jnp.where(
+            jnp.asarray(ok)[:, None], frozen_llr, llr
+        )
+        res = decode(adapter.code, llr_use, syn, opts)
         ok_now = np.asarray(res.syndromes_match)
         newly = ok_now & ~ok
         if newly.any():
@@ -100,6 +111,14 @@ def blind_reconcile(
             rounds[newly] = r
             iters[newly] = np.asarray(res.iterations)[newly]
             ok |= newly
+            pinned_bits = jnp.where(
+                res.bits == 1, -_KNOWN_LLR, _KNOWN_LLR
+            ).astype(jnp.float32)
+            frozen_llr = (
+                pinned_bits if frozen_llr is None
+                else jnp.where(jnp.asarray(newly)[:, None], pinned_bits,
+                               frozen_llr)
+            )
         if ok.all() or revealed >= d or r == n_rounds:
             iters[~ok] = np.asarray(res.iterations)[~ok]
             rounds[~ok] = r

@@ -402,6 +402,15 @@ def batch_simulation(
     ckpt_path = _checkpoint_path(cfg, sim_inputs)
     done = _load_checkpoint(ckpt_path)
     master = jax.random.PRNGKey(cfg.simulation_seed)
+    # Rank-awareness (multi-process jax.distributed runs): every process
+    # executes the same device programs (collectives require it) and
+    # reads the checkpoint for resume decisions — which must agree, so
+    # multi-process resume needs checkpoint_dir on a shared filesystem —
+    # but only process 0 appends checkpoints and shows progress.
+    is_coord = jax.process_index() == 0
+    if not is_coord:
+        ckpt_path = None
+        progress = False
 
     # Multi-device hosts shard the trial grid over ALL devices
     # automatically (pure DP over a `trial` mesh; results bit-identical

@@ -103,3 +103,32 @@ def test_blind_validation(mother):
     with pytest.raises(ValueError, match="budget"):
         blind_reconcile(ad_none, np.zeros((1, mother.n_vars)),
                         np.zeros((1, mother.n_checks)), lambda p: None)
+
+
+def test_blind_freeze_semantics(mother):
+    """Round 3: verified frames are decoded from PINNED decisions in
+    later rounds (they converge on the peeled first iteration instead of
+    re-running their whole trajectory).  Results must be unchanged, and
+    the final round's iteration count for an early-verified frame must
+    be 1 — direct evidence the freeze engaged without touching the
+    banked statistics."""
+    d = 256
+    l = mother.n_vars - d
+    kk = jax.random.PRNGKey(77)
+    alice = jax.random.bernoulli(kk, 0.5, (6, l)).astype(jnp.uint8)
+    easy = introduce_errors(jax.random.fold_in(kk, 1), alice[:3],
+                            num_errors_for(l, 0.02))
+    hard = introduce_errors(jax.random.fold_in(kk, 2), alice[3:],
+                            num_errors_for(l, 0.06))
+    bob = jnp.concatenate([easy, hard], axis=0)
+    res, km = blind_reconcile_sim(
+        mother, alice, bob, n_punctured=d, qber_hint=0.05,
+        opts=DecodeOptions(max_iterations=60), reveal_step=64, seed=0,
+    )
+    assert km.all()
+    assert (res.rounds[:3] == 0).all() and (res.rounds[3:] > 0).any()
+    # Banked iterations are the FIRST verifying round's (> 1 in general
+    # for the easy frames — decoding real noise takes a few iterations).
+    assert (res.iterations[:3] >= 1).all()
+    # Leakage of early-verified frames unaffected by later reveals.
+    assert (res.leak_bits[:3] == mother.n_checks - d).all()

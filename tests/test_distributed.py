@@ -97,3 +97,75 @@ def test_four_process_distributed_sweep_matches_single():
     for r in results[1:]:
         assert r == results[0], "ranks disagree"
     assert results[0] == _expected_partials(), results[0]
+
+
+@pytest.mark.slow
+def test_two_process_cli_writes_one_artifact_set(tmp_path):
+    """Round 3: the CLI itself is rank-aware — a 2-process CLI-driven
+    sweep writes exactly ONE CSV and ONE checkpoint set (process 0's),
+    with rows identical to a single-process run."""
+    import json
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    mats = tmp_path / "m"
+    mats.mkdir()
+    code = make_code(n=256, m=131, dv=3, seed=1)
+    from qkd_ldpc_tpu.codes import write_alist
+
+    write_alist(code, mats / "code.txt")
+    cfg = dict(
+        threads_number=1, trials_number=32, use_config_simulation_seed=True,
+        simulation_seed=7, interactive_mode=False,
+        sum_product_max_iterations=30, use_dense_matrices=False,
+        enable_sum_product_msg_llr_threshold=True,
+        sum_product_msg_llr_threshold=100.0,
+        trace_qkd_ldpc=False, trace_sum_product=False,
+        trace_sum_product_llr=False,
+        code_rate_QBER_parameters=[dict(code_rate=0.6, QBER_begin=0.03,
+                                        QBER_end=0.05, QBER_step=0.01)],
+    )
+
+    def run_cli(tag, n_procs, extra):
+        d = tmp_path / tag
+        d.mkdir()
+        c = dict(cfg, checkpoint_dir=str(d / "ckpt"), results_dir=str(d / "res"))
+        cp = d / "config.json"
+        cp.write_text(json.dumps(c))
+        env = {
+            **os.environ, "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "PYTHONPATH": str(Path(__file__).resolve().parent.parent),
+            "QKD_LDPC_CACHE_DIR": "",
+        }
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "qkd_ldpc_tpu", "--config", str(cp),
+                 "--matrix-dir", str(mats), "--no-progress", *extra(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for i in range(n_procs)
+        ]
+        outs = [p.communicate(timeout=240) for p in procs]
+        for i, (out, err) in enumerate(outs):
+            assert procs[i].returncode == 0, f"{tag} proc {i}:\n{err[-2000:]}"
+        return d
+
+    single = run_cli("single", 1, lambda i: [])
+    multi = run_cli(
+        "multi", 2,
+        lambda i: ["--coordinator", f"localhost:{port}",
+                   "--num-processes", "2", "--process-id", str(i)],
+    )
+
+    s_csv = sorted((single / "res").glob("*.csv"))
+    m_csv = sorted((multi / "res").glob("*.csv"))
+    assert len(s_csv) == 1 and len(m_csv) == 1  # exactly one CSV set
+    assert s_csv[0].read_text() == m_csv[0].read_text()
+    s_ck = sorted((single / "ckpt").glob("*.jsonl"))
+    m_ck = sorted((multi / "ckpt").glob("*.jsonl"))
+    assert len(s_ck) == 1 and len(m_ck) == 1  # only process 0 wrote one
+    assert s_ck[0].read_text() == m_ck[0].read_text()

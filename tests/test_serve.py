@@ -134,3 +134,84 @@ def test_adapter_code_mismatch_rejected(medium_code):
     ad = RateAdapter.make(other, n_shortened=16)
     with pytest.raises(ValueError, match="different code"):
         Reconciler(medium_code, adapter=ad)
+
+
+def test_adapter_same_shape_different_graph_rejected(medium_code):
+    """Round 3: binding is by parity-check CONTENT fingerprint — a
+    same-(N, M) adapter from a different graph must be rejected (it
+    would silently garble every key)."""
+    from qkd_ldpc_tpu.codes import make_code
+    from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
+
+    same_shape = make_code(
+        n=medium_code.n_vars, m=medium_code.n_checks, dv=3, seed=1234
+    )
+    assert same_shape.fingerprint != medium_code.fingerprint
+    ad = RateAdapter.make(same_shape, n_shortened=16)
+    with pytest.raises(ValueError, match="fingerprint"):
+        Reconciler(medium_code, adapter=ad)
+
+    # An equal-content copy (e.g. loaded from disk) is accepted.
+    import dataclasses
+
+    copy = dataclasses.replace(medium_code)
+    ad2 = RateAdapter.make(copy, n_shortened=16)
+    Reconciler(medium_code, adapter=ad2)  # no raise
+
+
+def test_reconcile_secure_chain(medium_code):
+    """reconcile -> tags -> amplification in one call: verified frames
+    yield Alice-equal amplified key material; a corrupted frame fails
+    verification even when its syndrome (trivially) matches."""
+    opts = DecodeOptions(max_iterations=60)
+    rec = Reconciler(medium_code, opts, lanes=8)
+    alice, bob, q = _trials(medium_code, 0.03, 10)
+    syn = rec.syndromes(alice)
+    tag_key, pa_key = jax.random.PRNGKey(11), jax.random.PRNGKey(12)
+
+    a_tags = rec.tags(alice, tag_key)
+    sec = rec.reconcile_secure(bob, syn, q, a_tags, tag_key, pa_key)
+    assert sec.verified.all()
+    assert sec.final_bits == rec.final_key_bits()
+    assert sec.final_bits > 0
+    assert sec.key.shape == (10, sec.final_bits)
+    np.testing.assert_array_equal(sec.leak_bits,
+                                  medium_code.n_checks + 64)
+
+    # Bob's amplified key must equal Alice amplifying HER key with the
+    # same pa seed (the whole point of reconciliation).
+    from qkd_ldpc_tpu.postprocess import privacy_amplify
+
+    a_key = np.asarray(privacy_amplify(jnp.asarray(alice), pa_key,
+                                       sec.final_bits))
+    np.testing.assert_array_equal(sec.key, a_key)
+
+    # Tamper with Alice's tag for frame 3: verification must fail it.
+    bad = a_tags.copy()
+    bad[3, 0] ^= 1
+    sec2 = rec.reconcile_secure(bob, syn, q, bad, tag_key, pa_key)
+    assert not sec2.verified[3] and sec2.verified[[0, 1, 2, 4]].all()
+
+
+def test_reconcile_secure_single_frame(medium_code):
+    opts = DecodeOptions(max_iterations=60)
+    rec = Reconciler(medium_code, opts, lanes=4)
+    alice, bob, q = _trials(medium_code, 0.03, 1)
+    syn = rec.syndromes(alice[0])
+    tag_key, pa_key = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    a_tag = rec.tags(alice[0], tag_key)
+    sec = rec.reconcile_secure(bob[0], syn, q, a_tag, tag_key, pa_key)
+    assert sec.verified and sec.key.shape == (sec.final_bits,)
+
+
+def test_pipelined_chunks_match_single_chunk(medium_code):
+    """Many-chunk pipelined dispatch must equal a one-chunk endpoint
+    result-for-result (pipelining is a scheduling change only)."""
+    opts = DecodeOptions(max_iterations=60)
+    alice, bob, q = _trials(medium_code, 0.03, 21, seed=9)
+    syn = Reconciler(medium_code, opts, lanes=32).syndromes(alice)
+    small = Reconciler(medium_code, opts, lanes=4).reconcile(bob, syn, q)
+    big = Reconciler(medium_code, opts, lanes=32).reconcile(bob, syn, q)
+    np.testing.assert_array_equal(small.bits, big.bits)
+    np.testing.assert_array_equal(small.iterations, big.iterations)
+    np.testing.assert_array_equal(small.syndromes_match, big.syndromes_match)
