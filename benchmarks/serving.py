@@ -1,16 +1,21 @@
-"""Serving latency/throughput for the Reconciler endpoint.
+"""Serving latency/throughput for the Reconciler endpoint (round 3).
 
 End-to-end host-to-host reconcile() latency (NumPy in -> NumPy out,
-including padding, device transfer, decode, verification, fetch) at
-several lane widths.  On THIS setup the ~28 ms tunnel round-trip
-dominates small-lane latency, so the round-trip is also measured and a
-subtracted column approximates a locally-attached chip.
+including padding, device transfer, decode, fetch) at several lane
+widths, 50 samples per row with p50/p95 (the round-2 table rested on 9
+samples and two rows were admitted noise-inflated).  On THIS setup the
+~28 ms tunnel round-trip dominates small-lane latency, so the
+round-trip is also measured and a subtracted column approximates a
+locally-attached chip.  The full secure chain (reconcile ->
+verification tags -> privacy amplification) is measured alongside.
 
-Usage (on the TPU): python benchmarks/serving.py
+Usage (on the TPU): python benchmarks/serving.py [--samples 50]
+Findings: benchmarks/serving.md.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -27,29 +32,45 @@ REFERENCE_ALIST = (
 )
 
 
+def _percentiles(lat):
+    a = np.asarray(lat) * 1e3
+    return float(np.percentile(a, 50)), float(np.percentile(a, 95))
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=50)
+    ap.add_argument("--qc", action="store_true",
+                    help="serve the QC z=512 code (roll routing)")
+    args = ap.parse_args()
+
     from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
-    from qkd_ldpc_tpu.codes import make_code, read_alist
+    from qkd_ldpc_tpu.codes import make_code, make_qc_code, read_alist
     from qkd_ldpc_tpu.decoder import DecodeOptions
     from qkd_ldpc_tpu.serve import Reconciler
     from qkd_ldpc_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    code = (read_alist(REFERENCE_ALIST) if os.path.exists(REFERENCE_ALIST)
-            else make_code(n=10240, m=5231, dv=3, seed=666))
+    if args.qc:
+        code = make_qc_code(z=512, nb=20, mb=10, dv=3, seed=666)
+    elif os.path.exists(REFERENCE_ALIST):
+        code = read_alist(REFERENCE_ALIST)
+    else:
+        code = make_code(n=10240, m=5231, dv=3, seed=666)
 
     @jax.jit
     def _null(x):
         return x + 1.0
 
     np.asarray(_null(jnp.asarray(1.0)))
-    ts = [0.0] * 7
-    for i in range(7):
+    ts = []
+    for _ in range(15):
         t0 = time.perf_counter()
         np.asarray(_null(jnp.asarray(1.0)))
-        ts[i] = time.perf_counter() - t0
+        ts.append(time.perf_counter() - t0)
     rt = float(np.median(ts))
-    print(f"device: {jax.devices()[0]}  tunnel round-trip ~{rt*1e3:.1f} ms",
+    print(f"device: {jax.devices()[0]}  code: {code.name}  "
+          f"tunnel round-trip ~{rt*1e3:.1f} ms  samples={args.samples}",
           file=sys.stderr)
 
     qber = 0.04
@@ -69,33 +90,53 @@ def main():
         # scalar checksum: forces the full decode without a 5 MB download
         return z.astype(jnp.int32).sum() + it.sum() + ok.sum()
 
-    print(f"{'lanes':>6} {'host-to-host p50':>17} {'device-only p50':>16} "
-          f"{'frames/s (dev)':>14}")
+    print(f"{'lanes':>6} {'host p50':>9} {'host p95':>9} "
+          f"{'dev p50':>8} {'dev p95':>8} {'frames/s(dev)':>13}")
     opts = DecodeOptions(message_dtype="bfloat16")
     q = jnp.asarray(n_err / code.n_vars, jnp.float32)
     for lanes in (1, 32, 128, 512):
         rec = Reconciler(code, opts, lanes=lanes).warmup()
         syn = rec.syndromes(alice[:lanes])
-        rec.reconcile(bob[:lanes], syn, qber=n_err / code.n_vars)  # warm shape
+        rec.reconcile(bob[:lanes], syn, qber=n_err / code.n_vars)
         lat = []
-        for _ in range(9):  # tunnel transfers dominate; more reps exceed practical windows
+        for _ in range(args.samples):
             t0 = time.perf_counter()
             out = rec.reconcile(bob[:lanes], syn, qber=n_err / code.n_vars)
             lat.append(time.perf_counter() - t0)
         assert out.syndromes_match.all()
-        p50 = float(np.median(lat))
+        h50, h95 = _percentiles(lat)
 
         bob_d = jnp.asarray(bob[:lanes])
         syn_d = jnp.asarray(syn)
         np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))  # warm
         dev = []
-        for _ in range(9):  # tunnel transfers dominate; more reps exceed practical windows
+        for _ in range(args.samples):
             t0 = time.perf_counter()
             np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))
             dev.append(time.perf_counter() - t0)
-        pdev = max(float(np.median(dev)) - rt, 1e-9)
-        print(f"{lanes:>6} {p50*1e3:14.2f} ms {pdev*1e3:13.2f} ms "
-              f"{lanes/pdev:14.0f}")
+        d50, d95 = _percentiles([max(t - rt, 1e-9) for t in dev])
+        print(f"{lanes:>6} {h50:7.1f}ms {h95:7.1f}ms "
+              f"{d50:6.1f}ms {d95:6.1f}ms {lanes/(d50/1e3):13.0f}")
+
+    # Full secure chain at the throughput lane width.
+    lanes = 128
+    rec = Reconciler(code, opts, lanes=lanes).warmup()
+    syn = rec.syndromes(alice[:lanes])
+    tk, pk = jax.random.PRNGKey(7), jax.random.PRNGKey(8)
+    a_tags = rec.tags(alice[:lanes], tk)
+    sec = rec.reconcile_secure(bob[:lanes], syn, n_err / code.n_vars,
+                               a_tags, tk, pk)
+    assert sec.verified.all()
+    lat = []
+    for _ in range(args.samples):
+        t0 = time.perf_counter()
+        rec.reconcile_secure(bob[:lanes], syn, n_err / code.n_vars,
+                             a_tags, tk, pk)
+        lat.append(time.perf_counter() - t0)
+    s50, s95 = _percentiles(lat)
+    print(f"secure chain (reconcile+verify+amplify, {lanes} lanes): "
+          f"p50 {s50:.1f} ms  p95 {s95:.1f} ms  "
+          f"final {sec.final_bits} bits/frame")
 
 
 if __name__ == "__main__":

@@ -247,43 +247,13 @@ def _dispatch_point(
 def _collect_point(futures: list) -> PointPartials:
     total = PointPartials()
     for stacked in futures:
-        total = total.merge(partials_from_stacked(jax.device_get(stacked)))
-    return total
-
-
-def _dispatch_point_continuation(
-    code: LDPCCode,
-    point_key: jax.Array,
-    qber: float,
-    trials: int,
-    batch: int,
-    opts: DecodeOptions,
-    segment: int = 4,
-    refill_frac: float = 0.25,
-) -> tuple[list, float]:
-    """Continuation-batching dispatch (waterfall points): one jitted
-    program banks all trials of the point, refilling converged lanes
-    (sim.continuation).  Returns the same (futures, actual_qber) shape as
-    :func:`_dispatch_point`, so the sweep pipeline treats both alike."""
-    from qkd_ldpc_tpu.sim.continuation import _continuation_point
-
-    n_err = num_errors_for(code.n_vars, qber)
-    if n_err == 0:
-        raise ValueError(f"Key size '{code.n_vars}' is too small for QBER.")
-    mi2 = max(opts.max_iterations, 1) ** 2
-    if trials * mi2 > 2**31 - 1:
-        raise ValueError(
-            f"trials ({trials}) x max_iterations^2 ({opts.max_iterations}^2) "
-            "overflows the int32 iteration statistics accumulated on device; "
-            "lower continuation_qber or trials_number"
+        # Continuation-sweep slices share one group fetch (fetch());
+        # plain futures are device arrays.
+        host = stacked.fetch() if hasattr(stacked, "fetch") else (
+            jax.device_get(stacked)
         )
-    want = max(1, int(batch * refill_frac))
-    refill_min = next(d for d in range(want, 0, -1) if batch % d == 0)
-    future = _continuation_point(
-        code, point_key, jnp.asarray(n_err, jnp.int32),
-        jnp.asarray(trials, jnp.int32), batch, segment, refill_min, opts,
-    )
-    return [future], n_err / code.n_vars
+        total = total.merge(partials_from_stacked(host))
+    return total
 
 
 def run_point(
@@ -462,6 +432,7 @@ def batch_simulation(
         else:
             mesh_dispatch = None
             code_dev = si.code.to_device()  # upload adjacency once per matrix
+        cont_entries = []  # (sim_number, qber, point_key) waterfall points
         for qber in si.qber:
             if sim_number in done:
                 results[sim_number] = SimResult(**done[sim_number]["result"])
@@ -470,28 +441,15 @@ def batch_simulation(
                 continue
 
             point_key = jax.random.fold_in(master, sim_number)
-            continuation = (
-                cfg.continuation_qber > 0 and qber >= cfg.continuation_qber
-            )
-            if mesh is not None and continuation:
-                # Waterfall point on a mesh: per-device continuation lane
-                # pools over disjoint global trial-id ranges — statistics
-                # bit-identical to every other runner path.
-                from qkd_ldpc_tpu.sim.continuation import (
-                    dispatch_point_continuation_sharded,
-                )
-
-                futures, actual_qber = dispatch_point_continuation_sharded(
-                    code_dev, point_key, qber, cfg.trials_number, batch,
-                    opts, mesh,
-                )
-            elif mesh_dispatch is not None:
+            if cfg.continuation_qber > 0 and qber >= cfg.continuation_qber:
+                # Deferred: all of this matrix's waterfall points run as
+                # ONE cross-point continuation program below.
+                cont_entries.append((sim_number, qber, point_key))
+                sim_number += 1
+                continue
+            if mesh_dispatch is not None:
                 futures, actual_qber = mesh_dispatch(
                     point_key, qber, cfg.trials_number
-                )
-            elif continuation:
-                futures, actual_qber = _dispatch_point_continuation(
-                    code_dev, point_key, qber, cfg.trials_number, batch, opts
                 )
             else:
                 futures, actual_qber = _dispatch_point(
@@ -500,7 +458,26 @@ def batch_simulation(
             pending.append((sim_number, si, actual_qber, futures))
             if len(pending) > 1:  # keep one point in flight
                 _flush_one()
+
             sim_number += 1
+
+        if cont_entries:
+            # Cross-point continuation (single program, drained lanes of
+            # point p host point p+1's trials; per-device lane pools on a
+            # mesh).  Statistics bit-identical to every other runner path.
+            from qkd_ldpc_tpu.sim.continuation import (
+                dispatch_sweep_continuation,
+            )
+
+            futs, actuals = dispatch_sweep_continuation(
+                code_dev, [k for _, _, k in cont_entries],
+                [q for _, q, _ in cont_entries], cfg.trials_number,
+                batch, opts, mesh=mesh,
+            )
+            for (num, _, _), f, aq in zip(cont_entries, futs, actuals):
+                pending.append((num, si, aq, f))
+                if len(pending) > 1:
+                    _flush_one()
     while pending:
         _flush_one()
     bar.close()

@@ -36,8 +36,20 @@ BASELINE = {
 
 
 def main(trials: int = 1000, batch: int = 250, generated: bool = False,
-         dtype: str = "float32") -> None:
-    if os.path.exists(REFERENCE_ALIST) and not generated:
+         dtype: str = "float32", which: str = "") -> None:
+    if which == "qc":
+        # Round-3 structured family at matched N and profile (R=0.50 vs
+        # the reference's 0.489): benchmarks/qc_parity.md compares this
+        # curve against `random-r50` (same rate, unstructured) so rate
+        # effects don't confound structure effects.
+        from qkd_ldpc_tpu.codes import make_qc_code
+
+        code = make_qc_code(z=512, nb=20, mb=10, dv=3, seed=666)
+        print(f"QC code {code}")
+    elif which == "random-r50":
+        code = make_code(n=10240, m=5120, dv=3, seed=667, name="random-r50")
+        print(f"matched-rate random code {code}")
+    elif os.path.exists(REFERENCE_ALIST) and not generated:
         code = read_alist(REFERENCE_ALIST)
     else:
         code = make_code(n=10240, m=5231, dv=3, seed=666, name="flagship-n10240")
@@ -74,5 +86,7 @@ if __name__ == "__main__":
                     help="force the generated same-profile code")
     ap.add_argument("--dtype", default="float32",
                     help="message_dtype: float32 | bfloat16 | int8")
+    ap.add_argument("--code", default="", dest="which",
+                    help="'' (reference/generated) | qc | random-r50")
     a = ap.parse_args()
-    main(a.trials, a.batch, a.generated, a.dtype)
+    main(a.trials, a.batch, a.generated, a.dtype, a.which)

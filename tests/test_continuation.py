@@ -207,3 +207,75 @@ def test_batch_simulation_mesh_continuation_crossover(wf_code, tmp_path):
     assert len(res_plain) == len(res_cont) == 2
     for a, b in zip(res_plain, res_cont):
         assert a == b, (a, b)
+
+
+def test_cross_point_sweep_matches_plain(wf_code):
+    """Round 3 cross-point continuation: several waterfall points run as
+    ONE program (drained lanes of point p host point p+1's trials);
+    every point's partials must equal the plain runner's bit-for-bit."""
+    from qkd_ldpc_tpu.sim.continuation import dispatch_sweep_continuation
+    from qkd_ldpc_tpu.sim.stats import PointPartials, partials_from_stacked
+
+    opts = DecodeOptions(max_iterations=30)
+    master = jax.random.PRNGKey(777)
+    qbers = [0.07, 0.075, 0.078]
+    keys = [jax.random.fold_in(master, i) for i in range(len(qbers))]
+
+    futs, actuals = dispatch_sweep_continuation(
+        wf_code, keys, qbers, trials=50, batch=16, opts=opts, segment=3,
+    )
+    for key, qber, fut, aq in zip(keys, qbers, futs, actuals):
+        p_ref, q_ref = run_point(wf_code, key, qber, trials=50, batch=50,
+                                 opts=opts)
+        p = PointPartials().merge(partials_from_stacked(fut[0].fetch()))
+        assert aq == q_ref
+        _assert_equal(p, p_ref)
+        assert p.n_trials == 50
+
+
+def test_cross_point_sweep_sharded_matches_plain(wf_code):
+    """Cross-point continuation x trial mesh: per-device lane pools over
+    per-point id ranges, all points in one program."""
+    from qkd_ldpc_tpu.parallel.mesh import make_trial_mesh
+    from qkd_ldpc_tpu.sim.continuation import dispatch_sweep_continuation
+    from qkd_ldpc_tpu.sim.stats import PointPartials, partials_from_stacked
+
+    opts = DecodeOptions(max_iterations=25, message_dtype="bfloat16")
+    master = jax.random.PRNGKey(5)
+    qbers = [0.06, 0.075]
+    keys = [jax.random.fold_in(master, i) for i in range(len(qbers))]
+    futs, actuals = dispatch_sweep_continuation(
+        wf_code, keys, qbers, trials=30, batch=4, opts=opts,
+        mesh=make_trial_mesh(), segment=2,
+    )
+    for key, qber, fut in zip(keys, qbers, futs):
+        p_ref, _ = run_point(wf_code, key, qber, trials=30, batch=30,
+                             opts=opts)
+        p = PointPartials().merge(partials_from_stacked(fut[0].fetch()))
+        _assert_equal(p, p_ref)
+
+
+def test_batch_simulation_groups_continuation_points(wf_code):
+    """batch_simulation with several waterfall points produces identical
+    CSV rows whether continuation grouping is on or off."""
+    import dataclasses as dc
+
+    from qkd_ldpc_tpu.config import Config
+    from qkd_ldpc_tpu.sim.runner import SimInput, batch_simulation
+
+    base = Config(
+        threads_number=1, trials_number=20, simulation_seed=3,
+        sum_product_max_iterations=25, r_qber_parameters=(),
+        checkpoint_dir="", use_mesh=False,
+    )
+    si = [SimInput(code=wf_code, matrix_filename="wf.txt",
+                   qber=[0.03, 0.072, 0.076, 0.08])]
+    res_plain = batch_simulation(
+        si, dc.replace(base, continuation_qber=0.0), progress=False
+    )
+    res_cont = batch_simulation(
+        si, dc.replace(base, continuation_qber=0.07), progress=False
+    )
+    assert len(res_plain) == len(res_cont) == 4
+    for a, b in zip(res_plain, res_cont):
+        assert a == b, (a, b)
