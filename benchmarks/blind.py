@@ -74,8 +74,9 @@ def main():
         alice = jax.random.bernoulli(kk, 0.5, (B, l)).astype(jnp.uint8)
         bob = introduce_errors(jax.random.fold_in(kk, 1), alice, n_err)
 
-        # --- blind leg (timed end-to-end; warm once for compile) -------
-        blind_reconcile_sim(code, alice[:8], bob[:8], n_punctured=d,
+        # --- blind leg (timed end-to-end; warm once for compile at the
+        # TIMED batch shape) ------------------------------------------
+        blind_reconcile_sim(code, alice, bob, n_punctured=d,
                             qber_hint=args.hint, opts=opts,
                             reveal_step=args.step, seed=2)
         t0 = time.perf_counter()
@@ -94,6 +95,7 @@ def main():
             ad = adapters[(p, s)]
             fr = ad.build_frames(alice, jax.random.fold_in(kk, 2))
             syn = ad.syndromes(fr)
+            ad.reconcile(bob, syn, n_err / l, opts=opts)  # warm/compile
             t0 = time.perf_counter()
             kh, it, ok = ad.reconcile(bob, syn, n_err / l, opts=opts)
             at = time.perf_counter() - t0

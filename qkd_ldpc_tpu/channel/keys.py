@@ -91,7 +91,17 @@ def _exact_weight_mask(scores: jax.Array, num_errors, tie_scores_fn=None) -> jax
     k = jnp.asarray(num_errors, jnp.int32)
     # k >= 1 is validated by callers (floor(N*q)==0 is fatal upstream);
     # a zero k yields an all-False mask via the final where.
-    thresh = _kth_smallest(scores, jnp.maximum(k, 1))
+    # On TPU the threshold search runs as a Pallas kernel that holds the
+    # score block in VMEM across all 32 passes (the XLA lowering
+    # re-streams [B, N] from HBM each pass — ~1 ms for the flagship
+    # shape, a quarter of the trial pipeline).  Same integer algorithm,
+    # bit-identical threshold (tests/test_channel.py).
+    if jax.default_backend() == "tpu" and scores.ndim == 2:
+        from qkd_ldpc_tpu.channel.pallas_select import kth_smallest_pallas
+
+        thresh = kth_smallest_pallas(scores, jnp.maximum(k, 1))
+    else:
+        thresh = _kth_smallest(scores, jnp.maximum(k, 1))
     below = scores < thresh
     at = scores == thresh
     n_below = jnp.sum(below, axis=-1, keepdims=True)

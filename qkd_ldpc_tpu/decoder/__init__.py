@@ -16,7 +16,12 @@ from qkd_ldpc_tpu.decoder.oracle import (
     oracle_reconcile,
     oracle_syndrome,
 )
-from qkd_ldpc_tpu.decoder.blind import BlindResult, blind_reconcile, blind_reconcile_sim
+from qkd_ldpc_tpu.decoder.blind import (
+    BlindResult,
+    BlindSession,
+    blind_reconcile,
+    blind_reconcile_sim,
+)
 from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
 from qkd_ldpc_tpu.decoder.reconcile import (
     ReconcileResult,
@@ -34,6 +39,7 @@ __all__ = [
     "syndrome",
     "apriori_llr",
     "BlindResult",
+    "BlindSession",
     "blind_reconcile",
     "blind_reconcile_sim",
     "RateAdapter",

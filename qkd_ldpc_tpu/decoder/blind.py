@@ -43,6 +43,142 @@ class BlindResult(NamedTuple):
     iterations: np.ndarray  # [B] int32 — decode iterations of the final round
 
 
+class BlindSession:
+    """Endpoint-shaped Bob-side blind reconciliation (round 3).
+
+    The interactive loop with control INVERTED for serving: the caller
+    owns the classical channel.  One session per request batch::
+
+        s = BlindSession(adapter, bob_payload, alice_syndromes)
+        pos = s.begin()                 # None, or positions to request
+        while pos is not None:
+            pos = s.provide(values)     # Alice's bits for `pos`, [B, k]
+        out = s.result()                # BlindResult
+
+    ``adapter`` must be all-punctured (``n_shortened == 0``): its
+    punctured positions are the reveal budget.  ``qber_hint`` only
+    shapes the channel LLR magnitude — the protocol needs no QBER
+    estimate; a generic hint works across the code's whole range.
+    """
+
+    def __init__(
+        self,
+        adapter: RateAdapter,
+        bob_payload,  # [B, l] Bob's noisy payload bits
+        alice_syndromes,  # [B, M]
+        qber_hint: float = 0.05,
+        opts: DecodeOptions = DecodeOptions(),
+        reveal_step: int | None = None,
+        max_rounds: int | None = None,
+    ):
+        if adapter.short_idx.size:
+            raise ValueError("blind reconciliation starts all-punctured")
+        self.d = d = adapter.punct_idx.size
+        if d == 0:
+            raise ValueError("adapter has no punctured budget to reveal")
+        self.adapter = adapter
+        self.opts = opts
+        self.step = reveal_step or max(1, d // 4)
+        self.n_rounds = (
+            max_rounds if max_rounds is not None else -(-d // self.step)
+        )
+
+        bob = jnp.atleast_2d(jnp.asarray(bob_payload, jnp.uint8))
+        self.syn = jnp.atleast_2d(jnp.asarray(alice_syndromes))
+        B = bob.shape[0]
+        self.llr = jnp.zeros((B, adapter.code.n_vars), jnp.float32).at[
+            :, jnp.asarray(adapter.key_idx)
+        ].set(apriori_llr(bob, qber_hint))
+
+        self.key = np.zeros((B, adapter.payload_bits), np.uint8)
+        self.ok = np.zeros((B,), bool)
+        self.rounds = np.zeros((B,), np.int32)
+        self.iters = np.zeros((B,), np.int32)
+        self.revealed = 0
+        self.r = 0
+        self._key_idx = jnp.asarray(adapter.key_idx)
+        self._pending: np.ndarray | None = None
+        self._finished = False
+        # Frozen decisions of verified frames ([B, N]); once a frame
+        # verifies, later rounds decode it from its pinned decisions —
+        # it converges on the peeled first iteration and stops extending
+        # the batch's while_loop (round-2 weakness: every round re-ran
+        # verified frames' full trajectories).  Bookkeeping only ever
+        # reads a frame's FIRST verifying round, so results are
+        # unchanged (tested: test_blind_freeze_semantics).
+        self._frozen_llr = None
+
+    def begin(self) -> np.ndarray | None:
+        """Run round 0; returns positions to request from Alice, or
+        None when every frame already verified (or no budget/rounds)."""
+        if self.r != 0 or self._pending is not None:
+            raise RuntimeError("begin() must be the first call, once")
+        return self._decode_round()
+
+    def provide(self, values) -> np.ndarray | None:
+        """Feed Alice's bits [B, k] for the last requested positions;
+        runs the next round.  Returns the next request or None (done)."""
+        if self._pending is None:
+            raise RuntimeError("no pending reveal request")
+        pos = self._pending
+        self._pending = None
+        values = np.asarray(values, np.uint8)
+        pinned = jnp.where(jnp.asarray(values) == 1, -_KNOWN_LLR, _KNOWN_LLR)
+        self.llr = self.llr.at[:, jnp.asarray(pos)].set(
+            pinned.astype(jnp.float32)
+        )
+        self.revealed += pos.size
+        self.r += 1
+        return self._decode_round()
+
+    def result(self) -> BlindResult:
+        if not self._finished:
+            raise RuntimeError("session still has pending rounds")
+        # Per-frame leakage: syndrome entropy net of the still-secret
+        # punctured bits at the frame's finishing round, plus the
+        # revealed values themselves.
+        M = self.adapter.code.n_checks
+        leak = M - self.d + 2 * np.minimum(
+            self.rounds * self.step, self.d
+        ).astype(np.int32)
+        return BlindResult(key=self.key, ok=self.ok, rounds=self.rounds,
+                           leak_bits=leak, iterations=self.iters)
+
+    def _decode_round(self) -> np.ndarray | None:
+        llr_use = self.llr if self._frozen_llr is None else jnp.where(
+            jnp.asarray(self.ok)[:, None], self._frozen_llr, self.llr
+        )
+        res = decode(self.adapter.code, llr_use, self.syn, self.opts)
+        ok_now = np.asarray(res.syndromes_match)
+        newly = ok_now & ~self.ok
+        if newly.any():
+            key_hat = np.asarray(
+                jnp.take(res.bits, self._key_idx, axis=1).astype(jnp.uint8)
+            )
+            self.key[newly] = key_hat[newly]
+            self.rounds[newly] = self.r
+            self.iters[newly] = np.asarray(res.iterations)[newly]
+            self.ok |= newly
+            pinned_bits = jnp.where(
+                res.bits == 1, -_KNOWN_LLR, _KNOWN_LLR
+            ).astype(jnp.float32)
+            self._frozen_llr = (
+                pinned_bits if self._frozen_llr is None
+                else jnp.where(jnp.asarray(newly)[:, None], pinned_bits,
+                               self._frozen_llr)
+            )
+        if (self.ok.all() or self.revealed >= self.d
+                or self.r == self.n_rounds):
+            self.iters[~self.ok] = np.asarray(res.iterations)[~self.ok]
+            self.rounds[~self.ok] = self.r
+            self._finished = True
+            return None
+        self._pending = np.asarray(
+            self.adapter.punct_idx[self.revealed:self.revealed + self.step]
+        )
+        return self._pending
+
+
 def blind_reconcile(
     adapter: RateAdapter,
     bob_payload,  # [B, l] Bob's noisy payload bits
@@ -53,88 +189,21 @@ def blind_reconcile(
     reveal_step: int | None = None,
     max_rounds: int | None = None,
 ) -> BlindResult:
-    """Bob-side blind reconciliation loop.
+    """Bob-side blind reconciliation loop (callback form).
 
-    ``adapter`` must be all-punctured (``n_shortened == 0``): its
-    punctured positions are the reveal budget.  ``reveal(positions)`` is
-    the Alice oracle: given frame positions (a [k] index array into the
-    mother frame), return the true bits [B, k] (one classical message per
-    round).  ``qber_hint`` only shapes the channel LLR magnitude — the
-    protocol needs no QBER estimate; a generic hint works across the
-    code's whole range.
+    ``reveal(positions)`` is the Alice oracle: given frame positions (a
+    [k] index array into the mother frame), return the true bits [B, k]
+    (one classical message per round).  Serving deployments where the
+    caller owns the channel use :class:`BlindSession` directly.
     """
-    if adapter.short_idx.size:
-        raise ValueError("blind reconciliation starts all-punctured")
-    d = adapter.punct_idx.size
-    if d == 0:
-        raise ValueError("adapter has no punctured budget to reveal")
-    step = reveal_step or max(1, d // 4)
-    n_rounds = max_rounds if max_rounds is not None else -(-d // step)
-
-    bob = jnp.atleast_2d(jnp.asarray(bob_payload, jnp.uint8))
-    syn = jnp.atleast_2d(jnp.asarray(alice_syndromes))
-    B = bob.shape[0]
-    M = adapter.code.n_checks
-
-    llr = jnp.zeros((B, adapter.code.n_vars), jnp.float32)
-    llr = llr.at[:, jnp.asarray(adapter.key_idx)].set(
-        apriori_llr(bob, qber_hint)
+    s = BlindSession(
+        adapter, bob_payload, alice_syndromes, qber_hint=qber_hint,
+        opts=opts, reveal_step=reveal_step, max_rounds=max_rounds,
     )
-
-    key = np.zeros((B, adapter.payload_bits), np.uint8)
-    ok = np.zeros((B,), bool)
-    rounds = np.zeros((B,), np.int32)
-    iters = np.zeros((B,), np.int32)
-    revealed = 0
-    key_idx = jnp.asarray(adapter.key_idx)
-    # Frozen decisions of verified frames ([B, N]); once a frame
-    # verifies, later rounds decode it from its pinned decisions — it
-    # converges on the peeled first iteration and stops extending the
-    # batch's while_loop (round-2 weakness: every round re-ran verified
-    # frames' full trajectories).  Detection/iteration bookkeeping only
-    # ever reads a frame's FIRST verifying round, so results are
-    # unchanged (tested: test_blind_freeze_semantics).
-    frozen_llr = None
-
-    for r in range(n_rounds + 1):
-        llr_use = llr if frozen_llr is None else jnp.where(
-            jnp.asarray(ok)[:, None], frozen_llr, llr
-        )
-        res = decode(adapter.code, llr_use, syn, opts)
-        ok_now = np.asarray(res.syndromes_match)
-        newly = ok_now & ~ok
-        if newly.any():
-            key_hat = np.asarray(
-                jnp.take(res.bits, key_idx, axis=1).astype(jnp.uint8)
-            )
-            key[newly] = key_hat[newly]
-            rounds[newly] = r
-            iters[newly] = np.asarray(res.iterations)[newly]
-            ok |= newly
-            pinned_bits = jnp.where(
-                res.bits == 1, -_KNOWN_LLR, _KNOWN_LLR
-            ).astype(jnp.float32)
-            frozen_llr = (
-                pinned_bits if frozen_llr is None
-                else jnp.where(jnp.asarray(newly)[:, None], pinned_bits,
-                               frozen_llr)
-            )
-        if ok.all() or revealed >= d or r == n_rounds:
-            iters[~ok] = np.asarray(res.iterations)[~ok]
-            rounds[~ok] = r
-            break
-        pos = np.asarray(adapter.punct_idx[revealed:revealed + step])
-        values = np.asarray(reveal(pos), np.uint8)
-        pinned = jnp.where(jnp.asarray(values) == 1, -_KNOWN_LLR, _KNOWN_LLR)
-        llr = llr.at[:, jnp.asarray(pos)].set(pinned.astype(jnp.float32))
-        revealed += pos.size
-
-    # Per-frame leakage: syndrome entropy net of the still-secret
-    # punctured bits at the frame's finishing round, plus the revealed
-    # values themselves.
-    leak = M - d + 2 * np.minimum(rounds * step, d).astype(np.int32)
-    return BlindResult(key=key, ok=ok, rounds=rounds, leak_bits=leak,
-                       iterations=iters)
+    pos = s.begin()
+    while pos is not None:
+        pos = s.provide(reveal(pos))
+    return s.result()
 
 
 def blind_reconcile_sim(

@@ -234,9 +234,17 @@ class _DecodeCore:
         self.threshold = jnp.asarray(opts.message_threshold, dtype)
         # Roll routing: static block-rolls instead of permutation gathers
         # (QC codes only; bit-identical trajectories — decoder.qc_routing).
+        # "auto" rolls on TPU only: that is where the win lives (gathers
+        # are descriptor-bound, benchmarks/qc.md), and XLA:CPU has shown
+        # rare nondeterministic compiler crashes on the heavily-unrolled
+        # roll program under concurrent compilation; routing="roll"
+        # forces it anywhere (the bit-identity tests use it).
         if opts.routing == "roll" and code.qc is None:
             raise ValueError("routing='roll' requires a QC code (codes.qc)")
-        self.qc = code.qc if opts.routing in ("auto", "roll") else None
+        use_roll = opts.routing == "roll" or (
+            opts.routing == "auto" and jax.default_backend() == "tpu"
+        )
+        self.qc = code.qc if use_roll else None
 
     def clip_msgs(self, x):
         if self.opts.clip_messages:

@@ -20,14 +20,30 @@ iteration counts for both algorithms and all message dtypes).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _rot(block, s: int):
-    """[z, B] slab rotated so row r reads input row (r + s) mod z."""
+    """[z, B] slab rotated so row r reads input row (r + s) mod z.
+
+    Two lowerings of the SAME permutation: contiguous slice-copies on
+    TPU (the descriptor-free fast path this module exists for), a
+    static-index gather elsewhere — XLA:CPU's codegen for the heavily
+    repeated concat-of-slices pattern segfaulted nondeterministically
+    (observed four times across long test runs; the gather lowering is
+    the same op class CPU tests exercise everywhere else).  Identical
+    results either way, so the CPU bit-identity tests validate the
+    routing math and the TPU parity sweeps validate the slice lowering.
+    """
     if s == 0:
         return block
-    return jnp.concatenate([block[s:], block[:s]], axis=0)
+    if jax.default_backend() == "tpu":
+        return jnp.concatenate([block[s:], block[:s]], axis=0)
+    z = block.shape[0]
+    idx = np.concatenate([np.arange(s, z), np.arange(s)])
+    return jnp.take(block, jnp.asarray(idx), axis=0)
 
 
 def qc_gather_chk(x, qc, dc: int, B: int):

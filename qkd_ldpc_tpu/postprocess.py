@@ -104,20 +104,29 @@ def _hash_apply_blocked(
     x = jnp.pad(bits, ((0, 0), (0, nJ * bi - n_in))).astype(jnp.bfloat16)
     xT = x.T.reshape(nJ, bi, B)  # [nJ, bi, B] chunked frames
 
-    # Static intra-block Toeplitz gather pattern: local[a - b + bi - 1].
-    a = jnp.arange(bo)[:, None]
-    b = jnp.arange(bi)[None, :]
-    pat = (a - b + bi - 1).reshape(-1)  # [bo*bi] in [0, bo + bi - 1)
+    L = bo + bi - 1  # distinct values per Toeplitz tile
+
+    def toeplitz_tile(local):
+        """[L] slice -> [bo, bi] tile with tile[a, b] = local[a - b + bi - 1],
+        using only contiguous copies (no gathers): tiling a
+        period-(L + 1) sequence into rows of length L shears each row's
+        phase by one — tile(v, bo).reshape(bo, L)[a, j] = v[(j - a) mod
+        (L + 1)] — so with v = flip(local) + one junk element, columns
+        [bo - 1, bo - 1 + bi) are exactly the Toeplitz tile.  (A gather
+        formulation of the same tile was ~100x slower on TPU: 4M
+        single-element descriptors per block.)
+        """
+        v = jnp.concatenate([jnp.flip(local), jnp.zeros((1,), local.dtype)])
+        t = jnp.broadcast_to(v, (bo, L + 1)).reshape(-1)[: bo * L]
+        return t.reshape(bo, L)[:, bo - 1 : bo - 1 + bi]
 
     def row_block(I):
         def body(acc, J):
             # Block (I, J) holds s[I*bo + a - (J*bi + b) + n_in - 1]
             # = s_ext[start + a - b + bi - 1], start = I*bo - J*bi + n_in.
             start = I * bo - J * bi + n_in
-            local = jax.lax.dynamic_slice(s_ext, (start,), (bo + bi - 1,))
-            Tb = jnp.take(local, pat, axis=0).reshape(bo, bi).astype(
-                jnp.bfloat16
-            )
+            local = jax.lax.dynamic_slice(s_ext, (start,), (L,))
+            Tb = toeplitz_tile(local).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
                 Tb, xT[J], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -8,6 +8,12 @@ import os
 # tests must run on the virtual CPU mesh, so force it both through the
 # environment and through jax.config after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compile cache inside pytest: in-process CLI tests would
+# otherwise enable it for the whole pytest process, and concurrent cache
+# writes (parallel pytest halves, a TPU bench in another process) have
+# produced segfaults inside jax's cache-put path.  Subprocess tests set
+# their own environment.
+os.environ["QKD_LDPC_CACHE_DIR"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,6 +28,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from tests import fixtures  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop jax's in-process executable caches between test modules.
+
+    Every compiled XLA:CPU executable pins JIT code pages for the life
+    of the process; across the full suite the accumulated memory
+    mappings exceeded the kernel's default vm.max_map_count (65530) at
+    ~70% of the run, and the next LLVM mmap failure surfaced as a
+    nondeterministic SIGSEGV inside backend_compile_and_load (observed
+    five times, always late-run, at varying tests).  Per-module cache
+    clearing keeps the map count bounded; modules re-jit their own
+    programs anyway.
+    """
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

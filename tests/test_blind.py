@@ -132,3 +132,42 @@ def test_blind_freeze_semantics(mother):
     assert (res.iterations[:3] >= 1).all()
     # Leakage of early-verified frames unaffected by later reveals.
     assert (res.leak_bits[:3] == mother.n_checks - d).all()
+
+
+def test_blind_session_endpoint_api(mother):
+    """BlindSession (inverted-control serving API) reproduces the
+    callback loop exactly — same keys, rounds, leakage."""
+    from qkd_ldpc_tpu.decoder.blind import BlindSession, blind_reconcile
+
+    d = 256
+    alice, bob, _ = _keys(mother, d, 0.06, 6, 9)
+    ad = RateAdapter.make(mother, n_punctured=d, seed=0)
+    frames = ad.build_frames(alice, jax.random.PRNGKey(1))
+    syn = ad.syndromes(frames)
+    frames_np = np.asarray(frames)
+    opts = DecodeOptions(max_iterations=60)
+
+    ref = blind_reconcile(ad, bob, syn, lambda p: frames_np[:, p],
+                          qber_hint=0.06, opts=opts, reveal_step=64)
+
+    s = BlindSession(ad, bob, syn, qber_hint=0.06, opts=opts, reveal_step=64)
+    pos = s.begin()
+    n_messages = 0
+    while pos is not None:
+        n_messages += 1
+        pos = s.provide(frames_np[:, pos])
+    out = s.result()
+
+    np.testing.assert_array_equal(out.key, ref.key)
+    np.testing.assert_array_equal(out.ok, ref.ok)
+    np.testing.assert_array_equal(out.rounds, ref.rounds)
+    np.testing.assert_array_equal(out.leak_bits, ref.leak_bits)
+    assert n_messages == int(ref.rounds.max())
+
+    # protocol misuse is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        s.begin()
+    with _pytest.raises(RuntimeError):
+        s.provide(frames_np[:, :1])

@@ -137,3 +137,43 @@ def test_tie_break_changes_only_tie_frames():
         ),
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_threshold_matches_xla():
+    """The Pallas k-th-smallest kernel (TPU fast path of the exact-weight
+    channel) must return bit-identical thresholds to the XLA search —
+    including threshold ties, k=1, k=N, and non-lane-multiple N."""
+    import numpy as np
+
+    from qkd_ldpc_tpu.channel.keys import _kth_smallest
+    from qkd_ldpc_tpu.channel.pallas_select import kth_smallest_pallas
+
+    rng = np.random.default_rng(0)
+    for B, N in [(4, 256), (3, 100), (8, 1000)]:
+        scores = jnp.asarray(rng.integers(0, 2**32, (B, N), dtype=np.uint32))
+        for k in (1, 2, N // 2, N - 1, N):
+            ref = _kth_smallest(scores, jnp.asarray(k, jnp.int32))
+            out = kth_smallest_pallas(scores, jnp.asarray(k, jnp.int32),
+                                      interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # forced duplicates (quantized scores): ties at the threshold value
+    scores = jnp.asarray(
+        (rng.integers(0, 16, (4, 512), dtype=np.uint32) << 28)
+    )
+    for k in (1, 7, 200, 511):
+        ref = _kth_smallest(scores, jnp.asarray(k, jnp.int32))
+        out = kth_smallest_pallas(scores, jnp.asarray(k, jnp.int32),
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # extreme values (0 and 0xFFFFFFFF present)
+    s = np.full((2, 128), 0xFFFFFFFF, np.uint32)
+    s[0, 5] = 0
+    s[1, :3] = [7, 7, 9]
+    scores = jnp.asarray(s)
+    for k in (1, 2, 128):
+        ref = _kth_smallest(scores, jnp.asarray(k, jnp.int32))
+        out = kth_smallest_pallas(scores, jnp.asarray(k, jnp.int32),
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
