@@ -115,8 +115,12 @@ def main():
             np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))
             dev.append(time.perf_counter() - t0)
         d50, d95 = _percentiles([max(t - rt, 1e-9) for t in dev])
+        # Below ~0.5 ms the RT subtraction is at the tunnel's noise
+        # floor — report the rate from p95 instead of a garbage p50.
+        basis = d50 if d50 > 0.5 else d95
+        rate = f"{lanes / (basis / 1e3):13.0f}" if basis > 0.5 else f"{'—':>13}"
         print(f"{lanes:>6} {h50:7.1f}ms {h95:7.1f}ms "
-              f"{d50:6.1f}ms {d95:6.1f}ms {lanes/(d50/1e3):13.0f}")
+              f"{d50:6.1f}ms {d95:6.1f}ms {rate}")
 
     # Full secure chain at the throughput lane width.
     lanes = 128
