@@ -67,13 +67,31 @@ def main(argv: list[str] | None = None) -> int:
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("-o", "--output", required=True)
     gen.add_argument("--dense", action="store_true", help="write dense format")
+    gen.add_argument(
+        "--qc", type=int, default=0, metavar="Z",
+        help="build a girth>=6 quasi-cyclic code with lift size Z "
+        "(n, m must be multiples of Z; decodes with roll routing)",
+    )
 
     args = parser.parse_args(argv)
 
     if args.command == "generate":
-        from qkd_ldpc_tpu.codes import make_code, write_alist, write_dense
+        from qkd_ldpc_tpu.codes import (
+            make_code,
+            make_qc_code,
+            write_alist,
+            write_dense,
+        )
 
-        code = make_code(n=args.n, m=args.m, dv=args.dv, seed=args.seed)
+        if args.qc:
+            z = args.qc
+            if args.n % z or args.m % z:
+                print_error(f"ERROR: n and m must be multiples of Z={z}")
+                return 1
+            code = make_qc_code(z=z, nb=args.n // z, mb=args.m // z,
+                                dv=args.dv, seed=args.seed)
+        else:
+            code = make_code(n=args.n, m=args.m, dv=args.dv, seed=args.seed)
         (write_dense if args.dense else write_alist)(code, args.output)
         print(f"Wrote {code} -> {args.output}")
         return 0

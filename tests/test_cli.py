@@ -76,6 +76,28 @@ def test_generate(tmp_path, capsys):
     np.testing.assert_array_equal(code.var_deg, np.full(256, 3))
 
 
+def test_generate_qc(tmp_path, capsys):
+    out_path = tmp_path / "qc.alist"
+    rc = main([
+        "generate", "--n", "512", "--m", "256", "--qc", "64",
+        "--seed", "3", "-o", str(out_path),
+    ])
+    assert rc == 0
+    code = read_alist(out_path)
+    assert code.n_vars == 512 and code.n_checks == 256
+    np.testing.assert_array_equal(code.var_deg, np.full(512, 3))
+    # the alist is an ordinary code file (qc layout is generator-side)
+    assert code.qc is None
+
+    # non-multiple dimensions are rejected with the reference-style
+    # error-to-exit-1 contract
+    rc = main([
+        "generate", "--n", "500", "--m", "256", "--qc", "64",
+        "--seed", "3", "-o", str(tmp_path / "bad.alist"),
+    ])
+    assert rc == 1
+
+
 def test_cli_profile_flag(tmp_path):
     """--profile captures a jax.profiler trace directory during the sweep."""
     import json as _json

@@ -101,3 +101,18 @@ def test_example_program_runs(capsys):
     out = capsys.readouterr().out
     assert "Recovered Alice's key" in out
     assert "MAX ABS LLR" in out
+
+
+def test_secure_chain_example_runs(capsys):
+    import importlib.util
+    import pathlib
+
+    path = (pathlib.Path(__file__).parent.parent / "examples"
+            / "secure_chain_example.py")
+    spec = importlib.util.spec_from_file_location("secure_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    out = capsys.readouterr().out
+    assert "amplified keys are IDENTICAL" in out
+    assert "reconciled blind" in out
