@@ -97,9 +97,17 @@ def _exact_weight_mask(scores: jax.Array, num_errors, tie_scores_fn=None) -> jax
     # shape, a quarter of the trial pipeline).  Same integer algorithm,
     # bit-identical threshold (tests/test_channel.py).
     if jax.default_backend() == "tpu" and scores.ndim == 2:
-        from qkd_ldpc_tpu.channel.pallas_select import kth_smallest_pallas
+        from qkd_ldpc_tpu.channel.pallas_select import (
+            fits_vmem,
+            kth_smallest_pallas,
+        )
 
-        thresh = kth_smallest_pallas(scores, jnp.maximum(k, 1))
+        if fits_vmem(scores.shape[-1]):
+            thresh = kth_smallest_pallas(scores, jnp.maximum(k, 1))
+        else:
+            # Rows too large for the VMEM-resident kernel (e.g. the
+            # 262k-frame scaling sizes) keep the XLA search.
+            thresh = _kth_smallest(scores, jnp.maximum(k, 1))
     else:
         thresh = _kth_smallest(scores, jnp.maximum(k, 1))
     below = scores < thresh

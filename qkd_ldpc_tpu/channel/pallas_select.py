@@ -28,6 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 _SIGN = -0x80000000  # 0x80000000 as an int32 literal (sign-flip bit)
 
 
+def fits_vmem(n_cols: int) -> bool:
+    """True when a score row (padded to lanes) fits the kernel's VMEM
+    budget at the minimum 8-row block (~12 bytes/element live)."""
+    n_pad = (-n_cols) % 128
+    return 8 * (n_cols + n_pad) * 12 <= (12 << 20)
+
+
 def _kth_kernel(k_ref, scores_ref, out_ref):
     """One [bb, N] block: 32-pass bitwise prefix search, all in VMEM.
 
@@ -74,8 +81,11 @@ def kth_smallest_pallas(
         flipped = jnp.pad(flipped, ((0, 0), (0, n_pad)),
                           constant_values=0x7FFFFFFF)
     Np = N + n_pad
-    # VMEM budget: the block + the per-pass compare mask.
-    bb = min(block_b, B, max(8, (10 << 20) // (Np * 8) // 8 * 8))
+    # VMEM budget: the row block plus ~2 row-sized live temporaries per
+    # pass (compare mask + reduce; empirical: Np=262144 at bb=8 OOMed at
+    # 23.84 MB = ~12 B/element).  Callers gate on fits_vmem() and fall
+    # back to the XLA search for rows too large for even bb=8.
+    bb = min(block_b, B, max(8, (14 << 20) // (Np * 12) // 8 * 8))
     out = pl.pallas_call(
         _kth_kernel,
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
