@@ -22,7 +22,14 @@ axis, jitted through XLA, and sharded over `jax.sharding.Mesh` axes.
 """
 
 from qkd_ldpc_tpu.config import Config, load_config
-from qkd_ldpc_tpu.codes import LDPCCode, read_alist, read_dense, load_code
+from qkd_ldpc_tpu.codes import (
+    LDPCCode,
+    load_code,
+    make_code,
+    make_qc_code,
+    read_alist,
+    read_dense,
+)
 from qkd_ldpc_tpu.decoder import (
     DecodeResult,
     decode,
@@ -34,7 +41,7 @@ from qkd_ldpc_tpu.postprocess import (
     privacy_amplify,
     verification_tags,
 )
-from qkd_ldpc_tpu.serve import Reconciler, ServeResult
+from qkd_ldpc_tpu.serve import Reconciler, SecureResult, ServeResult
 
 __version__ = "0.1.0"
 
@@ -48,6 +55,9 @@ __all__ = [
     "DecodeResult",
     "Reconciler",
     "ServeResult",
+    "SecureResult",
+    "make_code",
+    "make_qc_code",
     "verification_tags",
     "privacy_amplify",
     "amplified_key_bits",
