@@ -167,3 +167,20 @@ def test_qc_layout_survives_device_put(qc_code):
     assert code_dev.qc == qc_code.qc
     code2 = dataclasses.replace(qc_code)
     assert code2.qc == qc_code.qc
+
+
+def test_continuation_with_roll_routing(qc_code):
+    """Continuation batching composes with roll routing (the TPU
+    production pairing: waterfall points on a QC code): statistics must
+    equal the plain runner's with BOTH routings, bit-for-bit."""
+    from qkd_ldpc_tpu.sim.continuation import run_point_continuation
+    from qkd_ldpc_tpu.sim.runner import run_point
+
+    key = jax.random.fold_in(jax.random.PRNGKey(777), 3)
+    for routing in ("gather", "roll"):
+        opts = DecodeOptions(max_iterations=30, routing=routing)
+        p1, _ = run_point(qc_code, key, 0.07, trials=40, batch=40, opts=opts)
+        p2, _ = run_point_continuation(
+            qc_code, key, 0.07, trials=40, batch=12, opts=opts, segment=3,
+        )
+        assert p1 == p2, routing
