@@ -279,3 +279,40 @@ def test_batch_simulation_groups_continuation_points(wf_code):
     assert len(res_plain) == len(res_cont) == 4
     for a, b in zip(res_plain, res_cont):
         assert a == b, (a, b)
+
+
+def test_cross_point_randomized_fuzz(wf_code):
+    """Randomized (point count, qbers, trials, batch, segment, dtype)
+    cross-point configurations must reproduce the plain runner's
+    per-point statistics exactly — the cross-point machinery has no
+    tunable that may change results."""
+    import numpy as np
+
+    from qkd_ldpc_tpu.sim.continuation import dispatch_sweep_continuation
+    from qkd_ldpc_tpu.sim.stats import PointPartials, partials_from_stacked
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(4):
+        n_pts = int(rng.integers(2, 5))
+        qbers = sorted(
+            float(rng.choice([0.02, 0.05, 0.07, 0.075, 0.078]))
+            for _ in range(n_pts)
+        )
+        trials = int(rng.integers(8, 50))
+        batch = int(rng.integers(4, 20))
+        segment = int(rng.integers(1, 6))
+        opts = DecodeOptions(
+            max_iterations=int(rng.integers(8, 30)),
+            message_dtype=str(rng.choice(["float32", "bfloat16"])),
+        )
+        master = jax.random.PRNGKey(int(rng.integers(0, 1 << 30)))
+        keys = [jax.random.fold_in(master, i) for i in range(n_pts)]
+        futs, _ = dispatch_sweep_continuation(
+            wf_code, keys, qbers, trials, batch, opts, segment=segment,
+        )
+        for key, qber, fut in zip(keys, qbers, futs):
+            p_ref, _ = run_point(wf_code, key, qber, trials=trials,
+                                 batch=trials, opts=opts)
+            p = PointPartials().merge(partials_from_stacked(fut[0].fetch()))
+            assert p == p_ref, (trial, n_pts, qbers, trials, batch,
+                                segment, opts)

@@ -184,3 +184,39 @@ def test_continuation_with_roll_routing(qc_code):
             qc_code, key, 0.07, trials=40, batch=12, opts=opts, segment=3,
         )
         assert p1 == p2, routing
+
+
+def test_qc_construction_fuzz():
+    """Randomized (z, nb, mb, dv, seed) constructions: degree profile,
+    girth >= 6, and roll==gather decode identity must hold for every
+    draw the builder accepts."""
+    rng = np.random.default_rng(20260817)
+    for trial in range(5):
+        z = int(rng.choice([8, 16, 32, 64]))
+        nb = int(rng.integers(6, 24))
+        mb = int(rng.integers(3, max(4, nb // 2 + 1)))
+        dv = int(rng.choice([2, 3]))
+        if dv > mb:
+            dv = mb
+        seed = int(rng.integers(0, 1 << 16))
+        try:
+            code = make_qc_code(z=z, nb=nb, mb=mb, dv=dv, seed=seed)
+        except RuntimeError:
+            continue  # 4-cycle repair may fail for tiny z; that's allowed
+        np.testing.assert_array_equal(code.var_deg, dv)
+        assert code.n_edges == nb * z * dv
+        H = code.dense.astype(np.int64)
+        overlap = H @ H.T
+        np.fill_diagonal(overlap, 0)
+        assert overlap.max() <= 1, (z, nb, mb, dv, seed)
+
+        qber = max(0.02, 2.0 / code.n_vars)
+        _, llr, syn = _trial(code, qber, batch=4, seed=seed)
+        roll = decode(code, llr, syn,
+                      DecodeOptions(max_iterations=25, routing="roll"))
+        gather = decode(code, llr, syn,
+                        DecodeOptions(max_iterations=25, routing="gather"))
+        np.testing.assert_array_equal(np.asarray(roll.bits),
+                                      np.asarray(gather.bits))
+        np.testing.assert_array_equal(np.asarray(roll.iterations),
+                                      np.asarray(gather.iterations))
