@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--trials", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--mesh", action="store_true",
+                    help="run through the sharded continuation path "
+                    "(trial mesh over all local devices)")
     args = ap.parse_args()
 
     from benchmarks.roofline import _load_flagship
@@ -49,8 +52,14 @@ def main():
     qbers = [0.08, 0.0825, 0.085]
     master = jax.random.PRNGKey(777)
     keys = [jax.random.fold_in(master, i) for i in range(len(qbers))]
+    mesh = None
+    if args.mesh:
+        from qkd_ldpc_tpu.parallel.mesh import make_trial_mesh
+
+        mesh = make_trial_mesh()
     print(f"device: {jax.devices()[0]}  {code}", file=sys.stderr)
-    print(f"qbers={qbers} trials={args.trials} batch={args.batch}")
+    print(f"qbers={qbers} trials={args.trials} batch={args.batch} "
+          f"mesh={dict(mesh.shape) if mesh else None}")
 
     def fetch_all(futs):
         return [
@@ -62,14 +71,14 @@ def main():
         parts = []
         for k, q in zip(keys, qbers):
             futs, _ = dispatch_sweep_continuation(
-                code, [k], [q], args.trials, args.batch, opts
+                code, [k], [q], args.trials, args.batch, opts, mesh=mesh
             )
             parts += fetch_all(futs)
         return parts
 
     def cross_point():
         futs, _ = dispatch_sweep_continuation(
-            code, keys, qbers, args.trials, args.batch, opts
+            code, keys, qbers, args.trials, args.batch, opts, mesh=mesh
         )
         return fetch_all(futs)
 
