@@ -59,6 +59,13 @@ def qc_gather_chk(x, qc, dc: int, B: int):
     xb = x.reshape(nb, z, B)
     zeros = None
     slabs = []
+    # Per-slot concat + stack, NOT one flat concatenate: the flat form
+    # wins an isolated microbenchmark (0.050 vs 0.073 ms — single output
+    # buffer) but LOSES 14% end-to-end in the real decode program
+    # (interleaved A/B, 457 vs 401 Minfo-bits/s) — the stacked form
+    # fuses better with the syndrome/kernel consumers.  Fusion context
+    # beats isolated op speed; measure any change to this shape in the
+    # full program.
     for j in range(dc):
         per_i = []
         for (col, s) in chk_plan[j]:
