@@ -36,7 +36,8 @@ BASELINE = {
 
 
 def main(trials: int = 1000, batch: int = 250, generated: bool = False,
-         dtype: str = "float32", which: str = "") -> None:
+         dtype: str = "float32", which: str = "",
+         alg: str = "sum-product") -> None:
     if which == "qc":
         # Round-3 structured family at matched N and profile (R=0.50 vs
         # the reference's 0.489): benchmarks/qc_parity.md compares this
@@ -57,7 +58,8 @@ def main(trials: int = 1000, batch: int = 250, generated: bool = False,
               "pins its curve; a different random code of the same ensemble, "
               "so FER is close to but not identical with the reference's)")
     opts = DecodeOptions(max_iterations=100, clip_messages=True,
-                         message_threshold=100.0, message_dtype=dtype)
+                         message_threshold=100.0, message_dtype=dtype,
+                         algorithm=alg)
     print(f"{'QBER':>6} {'FER':>6} {'refFER':>7} {'iters':>7} {'refIt':>6} "
           f"{'min-max':>9} {'time':>6}")
     for i, (q, (rf, ri)) in enumerate(BASELINE.items()):
@@ -88,5 +90,7 @@ if __name__ == "__main__":
                     help="message_dtype: float32 | bfloat16 | int8")
     ap.add_argument("--code", default="", dest="which",
                     help="'' (reference/generated) | qc | random-r50")
+    ap.add_argument("--alg", default="sum-product",
+                    help="sum-product | min-sum")
     a = ap.parse_args()
-    main(a.trials, a.batch, a.generated, a.dtype, a.which)
+    main(a.trials, a.batch, a.generated, a.dtype, a.which, a.alg)
