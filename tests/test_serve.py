@@ -215,3 +215,39 @@ def test_pipelined_chunks_match_single_chunk(medium_code):
     np.testing.assert_array_equal(small.bits, big.bits)
     np.testing.assert_array_equal(small.iterations, big.iterations)
     np.testing.assert_array_equal(small.syndromes_match, big.syndromes_match)
+
+
+def test_reconcile_secure_on_adapted_endpoint():
+    """The full chain composes with rate adaptation: tags/amplification
+    run over PAYLOAD bits and the leakage ledger follows the adapter
+    (syndrome net of punctured entropy + tag bits).  (A code large
+    enough that the leftover-hash budget stays positive after the
+    security margin: N=2048 -> 742 final bits.)"""
+    from qkd_ldpc_tpu.codes import make_code
+    from qkd_ldpc_tpu.decoder.rate_adapt import RateAdapter
+    from qkd_ldpc_tpu.postprocess import privacy_amplify
+
+    code = make_code(n=2048, m=1046, dv=3, seed=5)
+    ad = RateAdapter.make(code, n_shortened=96, seed=2)
+    opts = DecodeOptions(max_iterations=60)
+    rec = Reconciler(code, opts, lanes=8, adapter=ad)
+    l = ad.payload_bits
+    kk = jax.random.PRNGKey(6)
+    alice = np.asarray(jax.random.bernoulli(kk, 0.5, (6, l))).astype(np.uint8)
+    from qkd_ldpc_tpu.channel.keys import introduce_errors
+
+    n_err = num_errors_for(l, 0.05)
+    bob = np.asarray(introduce_errors(jax.random.fold_in(kk, 1),
+                                      jnp.asarray(alice), n_err))
+    syn = rec.syndromes(alice)
+    tk, pk = jax.random.PRNGKey(8), jax.random.PRNGKey(9)
+    a_tags = rec.tags(alice, tk)
+    sec = rec.reconcile_secure(bob, syn, n_err / l, a_tags, tk, pk)
+    assert sec.verified.all()
+    np.testing.assert_array_equal(
+        sec.leak_bits, np.full(6, ad.leak_bits + 64)  # adapter + tag bits
+    )
+    assert sec.final_bits == rec.final_key_bits() > 0
+    a_key = np.asarray(privacy_amplify(jnp.asarray(alice), pk,
+                                       sec.final_bits))
+    np.testing.assert_array_equal(sec.key, a_key)
