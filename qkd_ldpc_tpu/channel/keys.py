@@ -96,7 +96,10 @@ def _exact_weight_mask(scores: jax.Array, num_errors, tie_scores_fn=None) -> jax
     # re-streams [B, N] from HBM each pass — ~1 ms for the flagship
     # shape, a quarter of the trial pipeline).  Same integer algorithm,
     # bit-identical threshold (tests/test_channel.py).
-    if jax.default_backend() == "tpu" and scores.ndim == 2:
+    # The Pallas kernel takes a single SMEM scalar k (k_ref[0]); a
+    # per-row k (the tie path below passes one) must use the XLA search,
+    # which broadcasts k against the row counts.
+    if jax.default_backend() == "tpu" and scores.ndim == 2 and jnp.ndim(k) == 0:
         from qkd_ldpc_tpu.channel.pallas_select import (
             fits_vmem,
             kth_smallest_pallas,

@@ -41,7 +41,10 @@ def list_matrix_files(directory: str | Path) -> list[Path]:
     directory = Path(directory)
     if not directory.is_dir():
         raise FileNotFoundError(f"Directory does not exist: {directory}")
-    return sorted(p for p in directory.iterdir() if p.is_file())
+    return sorted(
+        p for p in directory.iterdir()
+        if p.is_file() and not p.name.endswith(".qc.json")  # QC sidecars
+    )
 
 
 __all__ = [

@@ -121,23 +121,94 @@ def read_alist(path: str | Path, native: bool | None = None) -> LDPCCode:
     counterpart of the reference's C++ ingest — and falls back to the pure
     Python/NumPy parser otherwise.  Both produce identical tensors
     (tests/test_native.py); ``native=False`` forces the Python path.
+
+    A ``<file>.qc.json`` sidecar (written by :func:`write_alist` for
+    quasi-cyclic codes) reattaches the QC roll layout after load —
+    verified against the parsed graph, so a stale or mismatched sidecar
+    raises instead of silently mis-routing messages.
     """
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"Failed to open file: {path}")
+    code = None
     if native or native is None:
         from qkd_ldpc_tpu.codes._native import read_alist_native
 
         code = read_alist_native(path, name=path.name)
-        if code is not None:
-            return code
-        if native:
+        if code is None and native:
             raise RuntimeError("Native alist loader unavailable")
-    return parse_alist(path.read_text(), str(path), name=path.name)
+    if code is None:
+        code = parse_alist(path.read_text(), str(path), name=path.name)
+    return _attach_qc_sidecar(code, path)
+
+
+def qc_sidecar_path(path: str | Path) -> Path:
+    return Path(str(path) + ".qc.json")
+
+
+def _attach_qc_sidecar(code: LDPCCode, path: Path) -> LDPCCode:
+    """Reattach (and verify) the QC layout from a sidecar, if present.
+
+    The decoder's fastest operating point is roll routing, which exists
+    only when ``code.qc`` is populated (decoder/bp.py:242-247); without
+    this, a generated QC code silently reloads 1.4x slower.  The sidecar
+    stores only the base matrix cells (z + {(row, col): shift}); the full
+    static layout is rebuilt by the same function construction uses, and
+    the lifted adjacency it implies is checked cell-by-cell against the
+    parsed graph.  ``code.fingerprint`` hashes the graph alone, so
+    attaching qc never changes it.
+    """
+    import dataclasses
+    import json
+
+    sidecar = qc_sidecar_path(path)
+    if not sidecar.exists():
+        return code
+    try:
+        meta = json.loads(sidecar.read_text())
+        z = int(meta["z"])
+        cells = {(int(i), int(j)): int(s) for i, j, s in meta["cells"]}
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(f"Corrupt QC sidecar {sidecar}: {e}") from e
+    from qkd_ldpc_tpu.codes.qc import (
+        check_adjacency_from_cells,
+        qc_layout_from_cells,
+    )
+
+    if z < 1 or code.n_vars % z or code.n_checks % z:
+        raise ValueError(
+            f"QC sidecar {sidecar}: z={z} does not divide the code "
+            f"dimensions N={code.n_vars}, M={code.n_checks}"
+        )
+    nb, mb = code.n_vars // z, code.n_checks // z
+    expect = check_adjacency_from_cells(cells, z, nb, mb)
+    chk_adj = np.asarray(code.chk_adj)
+    chk_mask = np.asarray(code.chk_mask)
+    for c, nbrs in enumerate(expect):
+        got = chk_adj[c, chk_mask[c]]
+        # EXACT slot order, not just edge-set equality: the roll layout
+        # assumes the canonical ascending-base-column slot order, and
+        # leave-one-out products round in slot order — a permuted file
+        # would make roll and gather trajectories diverge.
+        if got.size != nbrs.size or not np.array_equal(got, nbrs):
+            raise ValueError(
+                f"QC sidecar {sidecar} does not describe the graph in "
+                f"{path} (first mismatch at check {c}); delete the stale "
+                "sidecar or regenerate the pair"
+            )
+    return dataclasses.replace(
+        code, qc=qc_layout_from_cells(cells, z, nb, mb, code.dc_max, code.dv_max)
+    )
 
 
 def write_alist(code: LDPCCode, path: str | Path) -> None:
-    """Write a code in alist format (1-based, no zero padding)."""
+    """Write a code in alist format (1-based, no zero padding).
+
+    Quasi-cyclic codes (``code.qc`` set) additionally write a
+    ``<file>.qc.json`` sidecar carrying the lift description (z + base
+    cells), so :func:`read_alist` round-trips the roll-routing layout —
+    without it the reloaded code would decode with gather routing.
+    """
     lines = [
         f"{code.n_vars} {code.n_checks}",
         f"{code.dv_max} {code.dc_max}",
@@ -151,3 +222,14 @@ def write_alist(code: LDPCCode, path: str | Path) -> None:
         nbrs = code.chk_adj[c, code.chk_mask[c]] + 1
         lines.append(" ".join(str(int(v)) for v in nbrs))
     Path(path).write_text("\n".join(lines) + "\n")
+    if code.qc is not None:
+        import json
+
+        from qkd_ldpc_tpu.codes.qc import qc_cells
+
+        z, _, _, cells = qc_cells(code.qc)
+        qc_sidecar_path(path).write_text(json.dumps({
+            "format": "qkd_ldpc_tpu-qc-v1",
+            "z": z,
+            "cells": sorted([i, j, s] for (i, j), s in cells.items()),
+        }))

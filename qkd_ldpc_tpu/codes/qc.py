@@ -127,13 +127,25 @@ def make_qc_code(
     # so the check-major slot of base cell (i, j) is the rank of j among
     # row i's columns — identical for every r in the block, which is
     # what makes slot-major [dc, M, B] tensors roll-addressable.
-    by_row: dict[int, list[int]] = {}
-    for (i, j) in cells:
-        by_row.setdefault(i, []).append(j)
-    row_cols = {i: sorted(js) for i, js in by_row.items()}
-    if len(row_cols) != mb:
-        raise RuntimeError("empty base row; raise nb*dv/mb above 1")
+    check_neighbors = check_adjacency_from_cells(cells, z, nb, mb)
 
+    if not name:
+        r = 1.0 - mb / nb
+        name = f"(N={nb * z},M={mb * z},R={r:.2f},CW={dv},QC z={z},SEED={seed}).txt"
+    code = from_check_adjacency(check_neighbors, n_vars=nb * z, name=name)
+    return dataclasses.replace(
+        code, qc=qc_layout_from_cells(cells, z, nb, mb, code.dc_max, code.dv_max)
+    )
+
+
+def check_adjacency_from_cells(
+    cells: dict[tuple[int, int], int], z: int, nb: int, mb: int
+) -> list[np.ndarray]:
+    """Per-check neighbor lists of the lifted graph defined by base
+    ``cells`` {(row, col): shift}: check i*z + r connects variable
+    j*z + (r + s) mod z for every cell (i, j, s), slots in ascending
+    base-column order."""
+    row_cols = _row_cols(cells, mb)
     check_neighbors = []
     for i in range(mb):
         js = row_cols[i]
@@ -143,16 +155,35 @@ def make_qc_code(
                 np.array([j * z + (r + s) % z for j, s in zip(js, shifts)],
                          dtype=np.int64)
             )
+    return check_neighbors
 
-    if not name:
-        r = 1.0 - mb / nb
-        name = f"(N={nb * z},M={mb * z},R={r:.2f},CW={dv},QC z={z},SEED={seed}).txt"
-    code = from_check_adjacency(check_neighbors, n_vars=nb * z, name=name)
 
-    dc_max = code.dc_max
-    dv_max = code.dv_max
+def _row_cols(cells, mb) -> dict[int, list[int]]:
+    by_row: dict[int, list[int]] = {}
+    for (i, j) in cells:
+        by_row.setdefault(i, []).append(j)
+    row_cols = {i: sorted(js) for i, js in by_row.items()}
+    if len(row_cols) != mb:
+        raise RuntimeError("empty base row; raise nb*dv/mb above 1")
+    return row_cols
 
-    # Static layout tuples driving the decoder's unrolled roll routing.
+
+def qc_layout_from_cells(
+    cells: dict[tuple[int, int], int], z: int, nb: int, mb: int,
+    dc_max: int, dv_max: int,
+) -> tuple:
+    """The static ``(z, chk_plan, var_plan)`` layout tuple driving the
+    decoder's unrolled roll routing, from the base cells alone — shared
+    by construction (:func:`make_qc_code`) and reload
+    (:func:`qc_layout_from_sidecar` via codes.alist), so a serialized QC
+    code reconstructs the exact in-memory layout.
+    """
+    row_cols = _row_cols(cells, mb)
+    cols: dict[int, list[int]] = {}
+    for (i, j) in cells:
+        cols.setdefault(j, []).append(i)
+    cols = {j: sorted(rows) for j, rows in cols.items()}
+
     # chk_plan[j][i] = (base col, shift) of slot j in check block i, or
     # (-1, 0) when row i has fewer than j+1 cells (padded slot).
     chk_plan = tuple(
@@ -173,9 +204,23 @@ def make_qc_code(
                 cols[jb][k],
                 cells[(cols[jb][k], jb)],
             )
-            if k < len(cols[jb]) else (-1, -1, 0)
+            if k < len(cols.get(jb, ())) else (-1, -1, 0)
             for jb in range(nb)
         )
         for k in range(dv_max)
     )
-    return dataclasses.replace(code, qc=(z, chk_plan, var_plan))
+    return (z, chk_plan, var_plan)
+
+
+def qc_cells(qc: tuple) -> tuple[int, int, int, dict[tuple[int, int], int]]:
+    """Recover ``(z, nb, mb, cells)`` from a code's static qc layout —
+    the serializable description of the lift (codes.alist sidecar)."""
+    z, chk_plan, var_plan = qc
+    mb = len(chk_plan[0])
+    nb = len(var_plan[0])
+    cells: dict[tuple[int, int], int] = {}
+    for slot in chk_plan:
+        for i, (col, s) in enumerate(slot):
+            if col >= 0:
+                cells[(i, col)] = int(s)
+    return z, nb, mb, cells

@@ -19,6 +19,7 @@ from qkd_ldpc_tpu.decoder.oracle import (
 from qkd_ldpc_tpu.decoder.blind import (
     BlindResult,
     BlindSession,
+    SecureBlindResult,
     blind_reconcile,
     blind_reconcile_sim,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "apriori_llr",
     "BlindResult",
     "BlindSession",
+    "SecureBlindResult",
     "blind_reconcile",
     "blind_reconcile_sim",
     "RateAdapter",

@@ -43,6 +43,28 @@ class BlindResult(NamedTuple):
     iterations: np.ndarray  # [B] int32 — decode iterations of the final round
 
 
+class SecureBlindResult(NamedTuple):
+    """Outcome of the full blind post-processing chain (round 4).
+
+    Frames carry RAGGED final key lengths — the whole point of blind
+    reconciliation is per-frame adaptive leakage, so frames that needed
+    reveals yield shorter final keys.  Row i's key material is
+    ``key[i, :final_bits[i]]``; everything past it is zeroed.  A caller
+    wanting a uniform batch length may truncate every verified row to
+    ``final_bits[verified].min()`` (the worst-case-of-batch policy) —
+    truncating a Toeplitz hash output is itself a Toeplitz hash (the
+    first rows of T), so both policies are 2-universal.
+    """
+
+    key: np.ndarray  # [B, max(final_bits)] uint8 amplified key material
+    final_bits: np.ndarray  # [B] int32 per-frame length (0 if unverified)
+    verified: np.ndarray  # [B] bool: syndromes AND tags matched
+    rounds: np.ndarray  # [B] int32 reveal rounds consumed
+    leak_bits: np.ndarray  # [B] int32 ledger: syndrome net of punctured
+    # entropy + 2x reveals + tag bits
+    iterations: np.ndarray  # [B] int32
+
+
 class BlindSession:
     """Endpoint-shaped Bob-side blind reconciliation (round 3).
 
@@ -143,6 +165,61 @@ class BlindSession:
         ).astype(np.int32)
         return BlindResult(key=self.key, ok=self.ok, rounds=self.rounds,
                            leak_bits=leak, iterations=self.iters)
+
+    def finalize(
+        self,
+        alice_tags,
+        tag_key,
+        pa_key,
+        tag_bits: int = 64,
+        security_bits: int = 100,
+    ) -> SecureBlindResult:
+        """Complete the secure chain on a finished session: verification
+        tags (compared against Alice's) -> privacy amplification, with
+        the per-frame ADAPTIVE leakage ledger (reveals included) setting
+        each frame's final key length.
+
+        ``alice_tags`` [B, tag_bits] arrive over the classical channel
+        (Alice: ``postprocess.verification_tags`` over her payload with
+        the shared ``tag_key``); ``pa_key`` is the shared amplification
+        seed.  All frames hash through the same max-length Toeplitz
+        matrix; frame i keeps its first ``final_bits[i]`` output bits —
+        a prefix of Toeplitz rows is itself a 2-universal Toeplitz hash,
+        so the ragged lengths cost nothing extra.
+        """
+        from qkd_ldpc_tpu.postprocess import privacy_amplify, toeplitz_hash
+
+        res = self.result()  # raises unless finished
+        B = res.key.shape[0]
+        a_tags = np.atleast_2d(np.asarray(alice_tags, np.uint8))
+        if a_tags.shape != (B, tag_bits):
+            raise ValueError(
+                f"expected alice_tags [{B}, {tag_bits}], got {a_tags.shape}"
+            )
+        bob_tags = np.asarray(
+            toeplitz_hash(jnp.asarray(res.key), tag_key, tag_bits)
+        )
+        verified = res.ok & (bob_tags == a_tags).all(axis=-1)
+
+        # Per-frame ledger: reconciliation disclosure (syndrome net of
+        # still-punctured entropy + 2x reveals, from result()) + the tag.
+        leak = res.leak_bits + tag_bits
+        payload = self.adapter.payload_bits
+        final = np.maximum(payload - leak - security_bits, 0).astype(np.int32)
+        final[~verified] = 0
+        max_bits = int(final.max()) if B else 0
+        if max_bits > 0:
+            key = np.asarray(
+                privacy_amplify(jnp.asarray(res.key), pa_key, max_bits)
+            )
+            col = np.arange(max_bits)[None, :]
+            key = np.where(col < final[:, None], key, 0).astype(np.uint8)
+        else:
+            key = np.zeros((B, 0), np.uint8)
+        return SecureBlindResult(
+            key=key, final_bits=final, verified=verified, rounds=res.rounds,
+            leak_bits=leak, iterations=res.iterations,
+        )
 
     def _decode_round(self) -> np.ndarray | None:
         llr_use = self.llr if self._frozen_llr is None else jnp.where(

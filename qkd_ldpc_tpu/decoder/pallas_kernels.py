@@ -191,7 +191,16 @@ def _auto_blocks(block_m, dc, bb, itemsize, n_edge_io):
 
     while bm_for(bb) < 128 and bb > 8:
         bb = max(8, bb // 2)
-    bm = min(block_m, max(128, bm_for(bb)))
+    if bm_for(bb) < 128:
+        # Even the minimum 8-lane batch tile cannot fit a 128-row check
+        # tile: flooring bm to 128 anyway would exceed scoped VMEM and
+        # fail inside Mosaic with an opaque error.  Refuse with the fix.
+        raise ValueError(
+            f"Pallas check-update block (dc={dc}, itemsize={itemsize}) "
+            "exceeds the ~14 MB scoped-VMEM budget even at the minimum "
+            "batch tile; use DecodeOptions(backend='xla') for this code"
+        )
+    bm = min(block_m, bm_for(bb))
     return bm, bb
 
 

@@ -25,6 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Lowering of the roll permutation: "auto" picks by jax.default_backend()
+# AT TRACE TIME; "slices" / "take" force one variant (tests).  Trace-time
+# constraint, documented: a program traced on CPU and exported for TPU
+# keeps the gather variant — results are identical either way (the two
+# lowerings are the same permutation, asserted by
+# tests/test_qc.py::test_rot_lowerings_agree), only the TPU-side speed
+# differs, and every production TPU path traces on the TPU backend.
+_ROT_LOWERING = "auto"  # "auto" | "slices" | "take"
+
+
 def _rot(block, s: int):
     """[z, B] slab rotated so row r reads input row (r + s) mod z.
 
@@ -39,7 +49,10 @@ def _rot(block, s: int):
     """
     if s == 0:
         return block
-    if jax.default_backend() == "tpu":
+    mode = _ROT_LOWERING
+    if mode == "auto":
+        mode = "slices" if jax.default_backend() == "tpu" else "take"
+    if mode == "slices":
         return jnp.concatenate([block[s:], block[:s]], axis=0)
     z = block.shape[0]
     idx = np.concatenate([np.arange(s, z), np.arange(s)])

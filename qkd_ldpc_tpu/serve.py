@@ -160,6 +160,11 @@ class Reconciler:
         self.lanes = lanes
         self.adapter = adapter
         self.shared_seed = shared_seed
+        # Chunks allowed in flight before the oldest is fetched: enough to
+        # hide the ~30 ms dispatch/fetch host latency under device
+        # compute, small enough that device memory stays constant in the
+        # request size.
+        self.max_inflight_chunks = 4
         if adapter is not None:
             # Device-resident endpoint constants of the adapted path.
             self._key_idx = jnp.asarray(adapter.key_idx)
@@ -291,20 +296,30 @@ class Reconciler:
         ok = np.empty((n,), bool)
         q = jnp.asarray(qber, jnp.float32)
 
-        # Dispatch ALL chunks first (device queues them back-to-back),
-        # then fetch in order: chunk k+1's dispatch latency hides under
-        # chunk k's decode.
+        # Keep a bounded window of chunks in flight: chunk k+1's dispatch
+        # latency hides under chunk k's decode (the round-3 pipelining
+        # win), but device buffers stay O(window * lanes) instead of
+        # O(request) — an unbounded dispatch-all would hold every chunk's
+        # inputs AND outputs live simultaneously and can OOM HBM on very
+        # large requests.
         pending = []
+
+        def _fetch_one():
+            off, chunk, (z, it, okd) = pending.pop(0)
+            bits[off:off + chunk] = np.asarray(z)[:chunk]
+            iters[off:off + chunk] = np.asarray(it)[:chunk]
+            ok[off:off + chunk] = np.asarray(okd)[:chunk]
+
         for off in range(0, n, self.lanes):
             chunk = min(self.lanes, n - off)
             pad = self.lanes - chunk
             b = np.pad(bob[off:off + chunk], ((0, pad), (0, 0)))
             s = np.pad(syn[off:off + chunk], ((0, pad), (0, 0)))
             pending.append((off, chunk, self._dispatch(b, s, q)))
-        for off, chunk, (z, it, okd) in pending:
-            bits[off:off + chunk] = np.asarray(z)[:chunk]
-            iters[off:off + chunk] = np.asarray(it)[:chunk]
-            ok[off:off + chunk] = np.asarray(okd)[:chunk]
+            if len(pending) >= self.max_inflight_chunks:
+                _fetch_one()
+        while pending:
+            _fetch_one()
         res = ServeResult(bits=bits, iterations=iters, syndromes_match=ok)
         if single:
             res = ServeResult(res.bits[0], res.iterations[0],

@@ -171,3 +171,71 @@ def test_blind_session_endpoint_api(mother):
         s.begin()
     with _pytest.raises(RuntimeError):
         s.provide(frames_np[:, :1])
+
+
+def test_blind_secure_chain(mother):
+    """Round-4 VERDICT item 5: one blind session yields verified,
+    amplified key material with a per-frame ledger including reveals —
+    the adaptive leakage finally reaches the stage that consumes it."""
+    from qkd_ldpc_tpu.decoder.blind import BlindSession
+    from qkd_ldpc_tpu.postprocess import privacy_amplify, verification_tags
+
+    d = 256
+    B = 6
+    alice, bob, _ = _keys(mother, d, 0.06, B, 17)
+    ad = RateAdapter.make(mother, n_punctured=d, seed=0)
+    frames = ad.build_frames(alice, jax.random.PRNGKey(1))
+    syn = ad.syndromes(frames)
+    frames_np = np.asarray(frames)
+    opts = DecodeOptions(max_iterations=60)
+
+    s = BlindSession(ad, bob, syn, qber_hint=0.06, opts=opts, reveal_step=64)
+    pos = s.begin()
+    while pos is not None:
+        pos = s.provide(frames_np[:, pos])
+
+    tag_key = jax.random.PRNGKey(100)
+    pa_key = jax.random.PRNGKey(200)
+    a_tags = np.asarray(verification_tags(alice, tag_key, 64))
+    sec = s.finalize(a_tags, tag_key, pa_key, tag_bits=64, security_bits=100)
+    plain = s.result()
+
+    # Ledger: reconciliation leakage (adaptive, includes 2x reveals) + tag.
+    np.testing.assert_array_equal(sec.leak_bits, plain.leak_bits + 64)
+    assert (sec.rounds == plain.rounds).all()
+    # Frames that needed reveals leak more and keep SHORTER final keys.
+    if (plain.rounds > 0).any() and (plain.rounds == 0).any():
+        assert (sec.final_bits[sec.verified & (plain.rounds > 0)].max(initial=0)
+                < sec.final_bits[sec.verified & (plain.rounds == 0)].min(
+                    initial=1 << 30))
+
+    # Per-frame length arithmetic; unverified frames yield nothing.
+    payload = ad.payload_bits
+    expect = np.maximum(payload - sec.leak_bits - 100, 0)
+    np.testing.assert_array_equal(sec.final_bits[sec.verified],
+                                  expect[sec.verified])
+    np.testing.assert_array_equal(sec.final_bits[~sec.verified], 0)
+
+    # Alice amplifies her own payload with the same seed: verified frames
+    # agree bit-for-bit on their ragged prefixes; tails are zeroed.
+    max_bits = sec.key.shape[1]
+    a_key = np.asarray(privacy_amplify(jnp.asarray(alice), pa_key, max_bits))
+    col = np.arange(max_bits)[None, :]
+    for i in range(B):
+        if sec.verified[i]:
+            n = sec.final_bits[i]
+            np.testing.assert_array_equal(sec.key[i, :n], a_key[i, :n])
+    assert (sec.key[col >= sec.final_bits[:, None]] == 0).all()
+
+    # Tag mismatch (corrupted channel) kills verification.
+    bad = a_tags.copy()
+    bad[0] ^= 1
+    sec2 = s.finalize(bad, tag_key, pa_key)
+    assert not sec2.verified[0]
+    assert sec2.final_bits[0] == 0
+    np.testing.assert_array_equal(sec2.verified[1:], sec.verified[1:])
+
+    # Misuse: finalize before the session finished.
+    s2 = BlindSession(ad, bob, syn, qber_hint=0.06, opts=opts, reveal_step=64)
+    with pytest.raises(RuntimeError):
+        s2.finalize(a_tags, tag_key, pa_key)

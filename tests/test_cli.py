@@ -86,8 +86,10 @@ def test_generate_qc(tmp_path, capsys):
     code = read_alist(out_path)
     assert code.n_vars == 512 and code.n_checks == 256
     np.testing.assert_array_equal(code.var_deg, np.full(512, 3))
-    # the alist is an ordinary code file (qc layout is generator-side)
-    assert code.qc is None
+    # generate --qc writes a .qc.json sidecar; the reloaded code carries
+    # the roll layout, so decoding picks the fast routing (round 4).
+    assert code.qc is not None
+    assert code.qc[0] == 64  # lift size z
 
     # non-multiple dimensions are rejected with the reference-style
     # error-to-exit-1 contract

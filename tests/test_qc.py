@@ -143,13 +143,75 @@ def test_qc_reconcile_end_to_end(qc_code):
 
 def test_qc_alist_round_trip(tmp_path, qc_code):
     """QC codes export as ordinary alist files; the parsed code has the
-    identical graph (the qc layout itself is construction metadata)."""
+    identical graph.  The bare parser (no file context) cannot see the
+    sidecar, so it returns an unstructured view of the same graph."""
     p = tmp_path / "qc.txt"
     write_alist(qc_code, p)
     back = parse_alist(p.read_text())
     np.testing.assert_array_equal(back.chk_adj, np.asarray(qc_code.chk_adj))
     np.testing.assert_array_equal(back.var_adj, np.asarray(qc_code.var_adj))
-    assert back.qc is None  # structure metadata is not an alist concept
+    assert back.qc is None  # text alone carries no structure metadata
+
+
+def test_qc_sidecar_round_trip(tmp_path, qc_code):
+    """write -> load reconstructs the QC roll layout exactly (round-4
+    VERDICT item 3: without this the fastest operating point existed
+    only for codes constructed in-process), with the fingerprint — a
+    graph hash — unchanged."""
+    from qkd_ldpc_tpu.codes import read_alist
+    from qkd_ldpc_tpu.codes.alist import qc_sidecar_path
+
+    p = tmp_path / "qc.txt"
+    write_alist(qc_code, p)
+    assert qc_sidecar_path(p).exists()
+    back = read_alist(p)
+    assert back.qc is not None
+    assert back.qc == qc_code.qc  # identical static layout tuples
+    assert back.fingerprint == qc_code.fingerprint
+
+    # The reloaded code decodes with roll routing, bit-identically to
+    # its own gather path (DecodeOptions 'auto' picks roll on TPU).
+    _, llr, syn = _trial(back, 0.02, batch=4, seed=5)
+    roll = decode(back, llr, syn,
+                  DecodeOptions(max_iterations=25, routing="roll"))
+    gather = decode(back, llr, syn,
+                    DecodeOptions(max_iterations=25, routing="gather"))
+    np.testing.assert_array_equal(np.asarray(roll.bits),
+                                  np.asarray(gather.bits))
+    np.testing.assert_array_equal(np.asarray(roll.iterations),
+                                  np.asarray(gather.iterations))
+
+
+def test_qc_sidecar_mismatch_rejected(tmp_path, qc_code):
+    """A sidecar that does not describe the stored graph raises instead
+    of silently mis-routing messages."""
+    from qkd_ldpc_tpu.codes import read_alist
+    from qkd_ldpc_tpu.codes.alist import qc_sidecar_path
+
+    other = make_qc_code(z=32, nb=16, mb=8, dv=3, seed=8)  # different seed
+    p = tmp_path / "qc.txt"
+    write_alist(qc_code, p)
+    write_alist(other, tmp_path / "other.txt")
+    qc_sidecar_path(p).write_text(
+        qc_sidecar_path(tmp_path / "other.txt").read_text()
+    )
+    with pytest.raises(ValueError, match="does not describe the graph"):
+        read_alist(p)
+
+
+def test_qc_sidecar_corrupt_rejected(tmp_path, qc_code):
+    from qkd_ldpc_tpu.codes import read_alist
+    from qkd_ldpc_tpu.codes.alist import qc_sidecar_path
+
+    p = tmp_path / "qc.txt"
+    write_alist(qc_code, p)
+    qc_sidecar_path(p).write_text('{"z": "junk"}')
+    with pytest.raises(ValueError, match="Corrupt QC sidecar"):
+        read_alist(p)
+    # Wrong z (does not divide N): also rejected with a clear message.
+    qc_sidecar_path(p).write_text('{"z": 31, "cells": [[0, 0, 1]]}')
+    with pytest.raises(ValueError, match="does not divide"):
+        read_alist(p)
 
 
 def test_rejects_roll_on_unstructured():
@@ -220,3 +282,45 @@ def test_qc_construction_fuzz():
                                       np.asarray(gather.bits))
         np.testing.assert_array_equal(np.asarray(roll.iterations),
                                       np.asarray(gather.iterations))
+
+
+def test_rot_lowerings_agree():
+    """The two _rot lowerings (slice-concat vs static take) are the same
+    permutation — the trace-time backend branch can never change results
+    (ADVICE r3: the production slice lowering must be exercised by CPU
+    tests too, not only by TPU parity sweeps)."""
+    from qkd_ldpc_tpu.decoder import qc_routing
+
+    rng = np.random.default_rng(0)
+    block = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+    for s in (0, 1, 5, 31):
+        outs = {}
+        for mode in ("slices", "take"):
+            qc_routing._ROT_LOWERING = mode
+            try:
+                outs[mode] = np.asarray(jax.jit(
+                    lambda b: qc_routing._rot(b, s)
+                )(block))
+            finally:
+                qc_routing._ROT_LOWERING = "auto"
+        np.testing.assert_array_equal(outs["slices"], outs["take"])
+
+
+def test_roll_decode_slice_lowering_matches_gather(qc_code):
+    """Full decode with the slice-concat roll lowering forced (the TPU
+    production variant) matches the gather path bit-for-bit on CPU."""
+    from qkd_ldpc_tpu.decoder import qc_routing
+
+    _, llr, syn = _trial(qc_code, 0.02, batch=4, seed=11)
+    opts_roll = DecodeOptions(max_iterations=25, routing="roll")
+    opts_gather = DecodeOptions(max_iterations=25, routing="gather")
+    qc_routing._ROT_LOWERING = "slices"
+    try:
+        roll = decode(qc_code, llr, syn, opts_roll)
+    finally:
+        qc_routing._ROT_LOWERING = "auto"
+    gather = decode(qc_code, llr, syn, opts_gather)
+    np.testing.assert_array_equal(np.asarray(roll.bits),
+                                  np.asarray(gather.bits))
+    np.testing.assert_array_equal(np.asarray(roll.iterations),
+                                  np.asarray(gather.iterations))
