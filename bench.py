@@ -56,8 +56,9 @@ def _load_flagship():
     return make_code(n=10240, m=5231, dv=3, seed=666, name="flagship-n10240")
 
 
-@partial(jax.jit, static_argnames=("batch", "reps", "opts"))
-def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts):
+@partial(jax.jit, static_argnames=("batch", "reps", "opts", "prng"))
+def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts,
+                 prng="threefry"):
     """reps sequential trial batches fused into one device program.
 
     Returns the stacked [7] int32 stat vector so the result comes home in
@@ -70,13 +71,13 @@ def _sweep_chunk(code, point_key, n_err, start_offset, batch, reps, opts):
     def body(carry, i):
         red = point_batch_partials(
             code, point_key, n_err, start_offset + i * batch,
-            jnp.asarray(batch, jnp.int32), batch, opts,
+            jnp.asarray(batch, jnp.int32), batch, opts, prng,
         )
         return merge_partials_tree(carry, red), None
 
     init = point_batch_partials(
         code, point_key, n_err, start_offset, jnp.asarray(batch, jnp.int32),
-        batch, opts,
+        batch, opts, prng,
     )
     out, _ = jax.lax.scan(body, init, jnp.arange(1, reps, dtype=jnp.int32))
     return stack_partials(out)
@@ -107,17 +108,37 @@ def main() -> None:
     )
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     reps = int(os.environ.get("BENCH_REPS", "24"))
+    # Round-4 levers (both default ON — they are the shipping operating
+    # point; see benchmarks/prng.md and the compaction notes in
+    # decoder/bp.py):
+    # - BENCH_PRNG=threefry restores the contract-v1 reference-parity
+    #   stream ("pallas" keeps the threefry key-derivation tree and
+    #   generates the per-trial bit blocks with the TPU hardware PRNG —
+    #   determinism contract v2, channel/pallas_prng.py).
+    # - BENCH_COMPACT=0 disables residency compaction (bit-identical
+    #   results either way; schedule only).
+    prng = os.environ.get("BENCH_PRNG", "pallas")
+    compact = int(os.environ.get("BENCH_COMPACT", "8"))
+    if compact:
+        import dataclasses
+
+        opts = dataclasses.replace(
+            opts, compact_after=compact, compact_lanes=batch // 4
+        )
     n_err = num_errors_for(code.n_vars, QBER)
-    point_key = jax.random.fold_in(jax.random.PRNGKey(777), 0)
+    from qkd_ldpc_tpu.channel.keys import master_key
+
+    point_key = jax.random.fold_in(master_key(777, prng), 0)
 
     dev = jax.devices()[0]
     print(f"device: {dev}, code: {code}, batch={batch}, reps={reps}, "
-          f"alg={opts.algorithm}", file=sys.stderr)
+          f"alg={opts.algorithm}, prng={prng}, compact={compact}",
+          file=sys.stderr)
 
     def chunk(start):
         out = _sweep_chunk(
             code, point_key, jnp.asarray(n_err, jnp.int32),
-            jnp.asarray(start, jnp.int32), batch, reps, opts,
+            jnp.asarray(start, jnp.int32), batch, reps, opts, prng,
         )
         from qkd_ldpc_tpu.sim.stats import STAT_KEYS
 
@@ -140,7 +161,8 @@ def main() -> None:
     pending = [
         _sweep_chunk(
             code, point_key, jnp.asarray(n_err, jnp.int32),
-            jnp.asarray((k + 1) * batch * reps, jnp.int32), batch, reps, opts,
+            jnp.asarray((k + 1) * batch * reps, jnp.int32), batch, reps,
+            opts, prng,
         )
         for k in range(rounds)
     ]

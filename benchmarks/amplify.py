@@ -37,25 +37,28 @@ def main():
           f"{'ms/call':>8} {'Gbit/s in':>9}")
 
     cases = [
-        (10_240, 4_845, 128, "dense"),    # flagship secure-chain shape
-        (10_240, 4_845, 128, "blocked"),
-        (65_536, 31_000, 32, "blocked"),
-        (262_144, 125_000, 8, "blocked"),  # frame_scale.py's largest
-        (262_144, 125_000, 32, "blocked"),
+        (10_240, 4_845, 128, "dense", 512),   # flagship secure-chain shape
+        (10_240, 4_845, 128, "blocked", 512),
+        (65_536, 31_000, 32, "blocked", 512),
+        (262_144, 125_000, 8, "blocked", 512),  # frame_scale.py's largest
+        (262_144, 125_000, 32, "blocked", 256),
+        (262_144, 125_000, 32, "blocked", 512),
+        (262_144, 125_000, 32, "blocked", 1024),
     ]
-    for n_in, n_out, B, method in cases:
+    for n_in, n_out, B, method, bo in cases:
         bits = jnp.asarray(
             rng.integers(0, 2, (B, n_in), dtype=np.uint8)
         )
-        out = toeplitz_hash(bits, key, n_out, method=method)
+        out = toeplitz_hash(bits, key, n_out, method=method, block_out=bo)
         np.asarray(out)  # compile + warm
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            np.asarray(toeplitz_hash(bits, key, n_out, method=method))
+            np.asarray(toeplitz_hash(bits, key, n_out, method=method,
+                                     block_out=bo))
             ts.append(time.perf_counter() - t0)
         t = float(np.median(ts))
-        print(f"{n_in:>8} {n_out:>8} {B:>4} {method:>8} "
+        print(f"{n_in:>8} {n_out:>8} {B:>4} {method:>8}/bo={bo:<5} "
               f"{t*1e3:8.1f} {B*n_in/t/1e9:9.2f}")
 
 

@@ -30,9 +30,35 @@ import jax
 import jax.numpy as jnp
 
 
-def derive_point_key(master_seed: int, sweep_index: int) -> jax.Array:
+def master_key(seed: int, impl: str = "threefry") -> jax.Array:
+    """Master PRNG key.  BOTH determinism contracts share the threefry
+    key-derivation tree; ``impl`` only documents/validates the intent:
+
+    - ``"threefry"`` (contract v1, default): bit blocks also threefry —
+      bit-for-bit reproducible across platforms, runs, batch sizes,
+      shardings and process counts.  The reference-parity mode; the
+      canonical sweeps pin this stream.
+    - ``"pallas"`` (contract v2): per-trial bit blocks come from the
+      TPU hardware PRNG seeded with 64 threefry-derived bits per trial
+      (channel.pallas_prng) — chunk/shard invariance preserved,
+      streams NOT portable across platforms/compiler versions.  The
+      block-generation switch is the ``prng`` argument of
+      :func:`make_trials_from_ids`, not the key itself.
+
+    (An XLA ``rbg``-impl key was evaluated and REJECTED for v2: vmapped
+    ``RngBitGenerator`` draws depend on the batch layout, so the
+    chunk-invariance property above breaks — measured, benchmarks/
+    prng.md.)
+    """
+    if impl not in ("threefry", "pallas"):
+        raise ValueError(f"Unknown prng impl {impl!r}")
+    return jax.random.PRNGKey(seed)
+
+
+def derive_point_key(master_seed: int, sweep_index: int,
+                     impl: str = "threefry") -> jax.Array:
     """PRNG key for one (matrix, QBER) sweep point."""
-    return jax.random.fold_in(jax.random.PRNGKey(master_seed), sweep_index)
+    return jax.random.fold_in(master_key(master_seed, impl), sweep_index)
 
 
 def num_errors_for(n_bits: int, qber: float) -> int:
@@ -163,6 +189,7 @@ def make_trials_from_ids(
     n_bits: int,
     trial_ids: jax.Array,  # [B] uint32 global trial indices
     num_errors,
+    prng: str = "threefry",
 ) -> tuple[jax.Array, jax.Array]:
     """Generate (alice, bob) key batches for explicit global trial indices.
 
@@ -170,24 +197,48 @@ def make_trials_from_ids(
     (master seed, sweep point, trial index) — independent of how trials are
     chunked into batches *or sharded across devices* (a sweep chunked as
     2x512, 1x1024, or split over 8 chips sees identical trials).
+
+    ``prng`` selects the determinism contract (see :func:`master_key`):
+    "threefry" (v1, portable) generates the bit blocks with the
+    counter-based PRNG; "pallas" (v2, TPU) generates them with the
+    hardware PRNG seeded per trial from the same threefry key tree —
+    the chunk/shard invariance above is preserved because every trial's
+    stream is a function of its own derived seed.  Off-TPU, "pallas"
+    falls back to v1 (the hardware path does not exist there).
     """
     trial_keys = jax.vmap(lambda t: jax.random.fold_in(point_key, t))(trial_ids)
-    alice_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(trial_keys)
     error_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(trial_keys)
-
-    alice = jax.vmap(
-        lambda k: jax.random.bernoulli(k, 0.5, (n_bits,)).astype(jnp.uint8)
-    )(alice_keys)
-
-    # The flip mask is computed OUTSIDE the per-trial vmap so the rare
-    # tie-break branch stays a real `lax.cond` (vmap would turn it into a
-    # select that always pays for the second score word).  Each trial's
-    # scores still depend only on its own derived key, so determinism is
-    # independent of batching.
-    scores = jax.vmap(
-        lambda k: jax.random.bits(k, (n_bits,), jnp.uint32)
-    )(error_keys)
+    # Tie-break scores stay threefry in BOTH contracts: the branch fires
+    # with probability ~(N-1)/2^32 per frame and its cost is gated by a
+    # lax.cond, so there is nothing to accelerate — and v2 inherits the
+    # exactly-uniform tie law unchanged.
     tie_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(error_keys)
+
+    if prng == "pallas" and jax.default_backend() == "tpu":
+        from qkd_ldpc_tpu.channel.pallas_prng import trial_words_pallas
+
+        seeds = jax.lax.bitcast_convert_type(
+            jax.vmap(lambda k: jax.random.bits(k, (2,), jnp.uint32))(
+                trial_keys
+            ),
+            jnp.int32,
+        )
+        bit_words, scores = trial_words_pallas(seeds, n_bits)
+        alice = (bit_words & 1).astype(jnp.uint8)
+    else:
+        alice_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(trial_keys)
+        alice = jax.vmap(
+            lambda k: jax.random.bernoulli(k, 0.5, (n_bits,)).astype(jnp.uint8)
+        )(alice_keys)
+        # The flip mask is computed OUTSIDE the per-trial vmap so the rare
+        # tie-break branch stays a real `lax.cond` (vmap would turn it
+        # into a select that always pays for the second score word).
+        # Each trial's scores still depend only on its own derived key,
+        # so determinism is independent of batching.
+        scores = jax.vmap(
+            lambda k: jax.random.bits(k, (n_bits,), jnp.uint32)
+        )(error_keys)
+
     flip = _exact_weight_mask(
         scores, num_errors,
         tie_scores_fn=lambda: jax.vmap(
@@ -204,9 +255,10 @@ def make_trial_batch(
     batch: int,
     num_errors,
     trial_offset=0,
+    prng: str = "threefry",
 ) -> tuple[jax.Array, jax.Array]:
     """Generate (alice, bob) key batches for trials [offset, offset+batch)."""
     trial_ids = jnp.arange(batch, dtype=jnp.uint32) + jnp.asarray(
         trial_offset, jnp.uint32
     )
-    return make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
+    return make_trials_from_ids(point_key, n_bits, trial_ids, num_errors, prng)

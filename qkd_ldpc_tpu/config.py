@@ -97,6 +97,22 @@ class Config:
     use_mesh: bool = True
     dtype: str = "float32"  # message dtype on device
     backend: str = "auto"  # check-update kernel: "auto" | "xla" | "pallas"
+    # Trial PRNG implementation (channel.keys determinism contract):
+    # "threefry" (default) is the reference-parity mode — bit-for-bit
+    # reproducible across platforms, runs, batch sizes and meshes.
+    # "pallas" keeps the threefry key-derivation TREE (per-point,
+    # per-trial fold_in) but generates each trial's bit blocks with the
+    # TPU hardware PRNG seeded per trial (channel.pallas_prng) — much
+    # cheaper keygen, chunk/shard invariance preserved; deterministic
+    # for a fixed (seed, platform, XLA version) but NOT portable across
+    # platforms or compiler versions.  Contract v2; statistical parity
+    # measured in benchmarks/prng.md.  Off-TPU it falls back to v1.
+    prng: str = "threefry"  # "threefry" | "pallas"
+    # Decode-loop residency compaction (DecodeOptions.compact_*): after
+    # this many iterations the unconverged minority of each batch is
+    # gathered into batch/4 lanes and finished there (bit-identical
+    # schedules — decoder/bp.py).  0 disables.
+    compact_after: int = 0
     checkpoint_dir: str = ""  # "" disables sweep checkpointing
     results_dir: str = "results"
     matrix_dir: str = ""  # "" = use built-in discovery relative to cwd
@@ -132,6 +148,10 @@ class Config:
             raise ValueError(f"Unsupported message dtype: {self.dtype!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"Unsupported decoder backend: {self.backend!r}")
+        if self.prng not in ("threefry", "pallas"):
+            raise ValueError(f"Unsupported prng implementation: {self.prng!r}")
+        if self.compact_after < 0:
+            raise ValueError("compact_after must be >= 0 (0 = off)")
         # Sorted ascending by code rate, as in reference config.cpp:102-106.
         object.__setattr__(
             self,
@@ -192,6 +212,8 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
         use_mesh=bool(raw.get("use_mesh", True)),
         dtype=str(raw.get("dtype", "float32")),
         backend=str(raw.get("backend", "auto")),
+        prng=str(raw.get("prng", "threefry")),
+        compact_after=int(raw.get("compact_after", 0)),
         checkpoint_dir=str(raw.get("checkpoint_dir", "")),
         results_dir=str(raw.get("results_dir", "results")),
         matrix_dir=str(raw.get("matrix_dir", "")),

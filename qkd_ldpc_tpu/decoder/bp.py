@@ -106,6 +106,22 @@ class DecodeOptions:
     # gathers, "auto" rolls whenever the code carries a QC layout.
     # Bit-identical trajectories either way (decoder.qc_routing).
     routing: str = "auto"  # "auto" | "gather" | "roll"
+    # Residency compaction (round 4).  A batch pays its MAX iteration
+    # count — every lane keeps computing until the slowest converges
+    # (the early-exit barrier, ~45% of the headline pipeline at QBER
+    # 0.05: mean 6.8 iterations, max ~12).  With compact_after=k > 0,
+    # the loop runs k iterations, gathers the unconverged minority into
+    # ``compact_lanes`` lanes, and finishes only those; a full-batch
+    # fallback loop covers the (rare) case of more unconverged lanes
+    # than compact_lanes, so trajectories, decisions and iteration
+    # counts are BIT-IDENTICAL to the plain loop for every lane on
+    # every input (tests/test_decoder.py::test_compaction_bit_identical)
+    # — compaction changes the schedule, never the math.  Applies to
+    # the plain batched loop (sim runner, bench, serve); the
+    # continuation and node-sharded runners have their own loop
+    # structures and ignore it.
+    compact_after: int = 0  # iterations before compaction (0 = off)
+    compact_lanes: int = 0  # compacted batch width (e.g. B // 4)
 
     def __post_init__(self):
         if self.max_iterations < 1:
@@ -123,6 +139,12 @@ class DecodeOptions:
             raise ValueError(f"Unknown backend {self.backend!r}")
         if self.routing not in ("auto", "gather", "roll"):
             raise ValueError(f"Unknown routing {self.routing!r}")
+        if self.compact_after < 0 or self.compact_lanes < 0:
+            raise ValueError("compaction parameters must be >= 0")
+        if (self.compact_after > 0) != (self.compact_lanes > 0):
+            raise ValueError(
+                "compact_after and compact_lanes must be set together"
+            )
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -382,6 +404,42 @@ class _DecodeCore:
         return tot0, Lr0
 
 
+def _decode_loop(core, llr, syndrome, syn_sign, init, limit, frozen=None):
+    """The shared early-exit iteration loop from a prepared carry.
+
+    ``frozen`` ([B] bool, optional) marks lanes whose bookkeeping must
+    never change (their z/iters/done are final) even though their stale
+    message state is recomputed — the full-batch fallback phase of the
+    compaction schedule runs with the compacted lanes frozen.
+    """
+
+    def body(carry):
+        tot_chk, Lr, z_out, iters, done, it = carry
+        Lr_new = core.check_update_fused(tot_chk, Lr, syn_sign)
+        tot_new, z, ok = core.after_check(Lr_new, llr, syndrome)
+
+        active = jnp.logical_not(done)
+        if frozen is not None:
+            active = active & jnp.logical_not(frozen)
+        z_out = jnp.where(active[None, :], z, z_out)
+        iters = jnp.where(active, it + 1, iters)
+        done = jnp.where(active, jnp.logical_or(done, ok), done)
+        return tot_new, Lr_new, z_out, iters, done, it + 1
+
+    def cond(carry):
+        *_, done, it = carry
+        not_done = jnp.logical_not(done)
+        if frozen is not None:
+            not_done = not_done & jnp.logical_not(frozen)
+        return jnp.logical_and(it < limit, jnp.any(not_done))
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _take_lanes(x, idx, axis):
+    return jnp.take(x, idx, axis=axis)
+
+
 def bp_decode_batch_last(
     code: LDPCCode,
     llr: jax.Array,  # [N, B] a-priori LLRs (batch last)
@@ -394,20 +452,11 @@ def bp_decode_batch_last(
     syndrome = syndrome.astype(jnp.int32)
     syn_sign = jnp.where(syndrome == 1, -1.0, 1.0).astype(llr.dtype)  # [M, B]
 
-    def check_update_first(Lq):
-        return core.check_update_first(Lq, syn_sign)
-
-    def check_update_fused(tot_chk, Lr_prev):
-        return core.check_update_fused(tot_chk, Lr_prev, syn_sign)
-
-    def after_check(Lr):
-        return core.after_check(Lr, llr, syndrome)
-
     # ---- peeled iteration 1: check inputs are the raw a-priori LLRs
     # (never clipped — reference qkd_ldpc_algorithm.cpp:10-18).
     Lq0 = core.gather_chk(core.to_storage(llr))
-    Lr1 = check_update_first(Lq0)
-    tot1, z1, ok1 = after_check(Lr1)
+    Lr1 = core.check_update_first(Lq0, syn_sign)
+    tot1, z1, ok1 = core.after_check(Lr1, llr, syndrome)
     init = (
         tot1, Lr1, z1,
         jnp.ones((B,), jnp.int32),  # every frame ran iteration 1
@@ -415,25 +464,66 @@ def bp_decode_batch_last(
         jnp.asarray(1, jnp.int32),
     )
 
-    def body(carry):
-        tot_chk, Lr, z_out, iters, done, it = carry
-        Lr_new = check_update_fused(tot_chk, Lr)
-        tot_new, z, ok = after_check(Lr_new)
+    B2 = opts.compact_lanes
+    if not (0 < B2 < B and opts.compact_after < opts.max_iterations):
+        *_, z_out, iters, done, _ = _decode_loop(
+            core, llr, syndrome, syn_sign, init, opts.max_iterations
+        )
+        # Frames that never converged report max_iterations, as the
+        # reference returns {max_num_iterations, false}
+        # (qkd_ldpc_algorithm.cpp:172).
+        iters = jnp.where(done, iters, opts.max_iterations)
+        return z_out, iters, done
 
-        active = jnp.logical_not(done)
-        z_out = jnp.where(active[None, :], z, z_out)
-        iters = jnp.where(active, it + 1, iters)
-        done = jnp.logical_or(done, ok)
-        return tot_new, Lr_new, z_out, iters, done, it + 1
+    # ---- residency-compaction schedule (round 4): the plain loop pays
+    # the batch's MAX iteration count on every lane.  Phase A runs
+    # compact_after iterations on the full batch; phase B gathers the
+    # unconverged minority into compact_lanes lanes and finishes only
+    # those; phase C (a full-batch fallback that executes ZERO
+    # iterations unless more than compact_lanes lanes were unconverged)
+    # continues any overflow lanes from their phase-A state with the
+    # compacted lanes' bookkeeping frozen.  Every lane's trajectory is
+    # the plain loop's, merely re-scheduled.
+    tot_a, Lr_a, z_a, it_a, done_a, itc_a = _decode_loop(
+        core, llr, syndrome, syn_sign, init, opts.compact_after
+    )
 
-    def cond(carry):
-        *_, done, it = carry
-        return jnp.logical_and(it < opts.max_iterations, ~jnp.all(done))
+    # Unconverged lanes first (argsort is stable: ties keep lane order);
+    # when fewer than compact_lanes are unconverged the tail picks
+    # already-done lanes, which the loop's masks keep inert.
+    idx = jnp.argsort(done_a.astype(jnp.int32), stable=True)[:B2]
+    core_c = _DecodeCore(code, opts, llr.dtype, B2)
+    llr_c = _take_lanes(llr, idx, 1)
+    syn_c = _take_lanes(syndrome, idx, 1)
+    sgn_c = _take_lanes(syn_sign, idx, 1)
+    init_c = (
+        _take_lanes(tot_a, idx, 2), _take_lanes(Lr_a, idx, 2),
+        _take_lanes(z_a, idx, 1), _take_lanes(it_a, idx, 0),
+        _take_lanes(done_a, idx, 0), itc_a,
+    )
+    _, _, z_b, it_b, done_b, _ = _decode_loop(
+        core_c, llr_c, syn_c, sgn_c, init_c, opts.max_iterations
+    )
 
-    *_, z_out, iters, done, _ = jax.lax.while_loop(cond, body, init)
+    z_full = z_a.at[:, idx].set(z_b)
+    it_full = it_a.at[idx].set(it_b)
+    done_full = done_a.at[idx].set(done_b)
+    frozen = jnp.zeros((B,), bool).at[idx].set(True)
 
-    # Frames that never converged report max_iterations, as the reference
-    # returns {max_num_iterations, false} (qkd_ldpc_algorithm.cpp:172).
+    overflow = jnp.any(jnp.logical_not(done_full) & jnp.logical_not(frozen))
+
+    def phase_c(args):
+        z_f, it_f, done_f = args
+        carry = (tot_a, Lr_a, z_f, it_f, done_f, itc_a)
+        *_, z_o, it_o, done_o, _ = _decode_loop(
+            core, llr, syndrome, syn_sign, carry, opts.max_iterations,
+            frozen=frozen,
+        )
+        return z_o, it_o, done_o
+
+    z_out, iters, done = jax.lax.cond(
+        overflow, phase_c, lambda args: args, (z_full, it_full, done_full)
+    )
     iters = jnp.where(done, iters, opts.max_iterations)
     return z_out, iters, done
 

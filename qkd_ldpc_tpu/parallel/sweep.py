@@ -53,9 +53,12 @@ def _batch_partials(
     num_errors: jax.Array,  # scalar int32
     n_bits: int,
     opts: DecodeOptions,
+    prng: str = "threefry",
 ) -> dict[str, jax.Array]:
     """One trial batch -> partial-sum dict (traceable, not jitted)."""
-    alice, bob = make_trials_from_ids(point_key, n_bits, trial_ids, num_errors)
+    alice, bob = make_trials_from_ids(
+        point_key, n_bits, trial_ids, num_errors, prng
+    )
     actual_qber = num_errors.astype(jnp.float32) / n_bits
     res = reconcile(code, alice, bob, actual_qber, opts)
     return reduce_trials(
@@ -64,7 +67,7 @@ def _batch_partials(
     )
 
 
-@partial(jax.jit, static_argnames=("n_bits", "n_batches", "opts"))
+@partial(jax.jit, static_argnames=("n_bits", "n_batches", "opts", "prng"))
 def _sharded_chunk(
     code: LDPCCode,
     point_key: jax.Array,
@@ -75,6 +78,7 @@ def _sharded_chunk(
     n_bits: int,
     n_batches: int,
     opts: DecodeOptions,
+    prng: str = "threefry",
 ) -> jax.Array:
     """``n_batches`` sequential sharded trial batches scan-chained on device.
 
@@ -91,7 +95,7 @@ def _sharded_chunk(
         trial_ids = trial_lane + offset.astype(jnp.uint32)
         valid = trial_lane < valid_count.astype(jnp.uint32)
         return _batch_partials(
-            code, point_key, trial_ids, valid, num_errors, n_bits, opts
+            code, point_key, trial_ids, valid, num_errors, n_bits, opts, prng
         )
 
     from qkd_ldpc_tpu.sim.runner import merge_partials_tree
@@ -130,6 +134,7 @@ def _dispatch_point_sharded(
     batch: int,
     opts: DecodeOptions,
     max_batches_per_dispatch: int,
+    prng: str = "threefry",
 ) -> list:
     """Queue all chunks of one point WITHOUT fetching; returns futures.
 
@@ -151,7 +156,7 @@ def _dispatch_point_sharded(
                 jnp.asarray(n_err, jnp.int32),
                 jnp.asarray(offset, jnp.int32),
                 jnp.asarray(valid, jnp.int32),
-                n_bits, n_batches, opts,
+                n_bits, n_batches, opts, prng,
             )
         )
         offset += valid
@@ -184,6 +189,7 @@ def make_point_dispatcher(
     opts: DecodeOptions,
     mesh: Mesh,
     max_batches_per_dispatch: int = 64,
+    prng: str = "threefry",
 ):
     """Bind a mesh-replicated code + trial lane once and return
     ``dispatch(point_key, qber, trials) -> (futures, actual_qber)`` — the
@@ -206,7 +212,7 @@ def make_point_dispatcher(
         futures = _dispatch_point_sharded(
             code_dev, jax.device_put(point_key, repl), trial_lane,
             n_err, code.n_vars, trials, gbatch, opts,
-            max_batches_per_dispatch,
+            max_batches_per_dispatch, prng,
         )
         return futures, n_err / code.n_vars
 

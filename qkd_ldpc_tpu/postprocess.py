@@ -30,14 +30,16 @@ tests/test_postprocess.py):
   tag-sized outputs and small frames; at production frame sizes the
   matrix itself is the problem (N=262,144 -> a [~125k, 262k] bf16 T is
   ~61 GB: cannot exist on device).
-- **blocked** (round 3) — stream T through VMEM one [bo, bi] Toeplitz
-  block at a time: each block is a static-pattern gather from a
-  (bo + bi - 1)-slice of the seed sequence, immediately consumed by an
-  MXU matmul and discarded.  Peak memory is O(n + bo*bi + k*B)
-  regardless of frame size; per-block row sums (<= bi) and the f32
-  accumulation across blocks (<= n < 2^24) are exact integers, so the
-  parity is exact.  This is what lets amplification run at the frame
-  sizes the decoder itself serves (benchmarks/frame_scale.py).
+- **blocked** (round 4) — exploit that T with SQUARE [c, c] blocks is
+  block-Toeplitz: only nI + nJ - 1 distinct blocks exist.  Build them
+  once (int8, vectorized shear tiling) and accumulate out_block[I] +=
+  D[I - J] @ x_block[J] with one aligned contiguous D-slice + MXU
+  matmul per J.  int8 operands with int32 accumulation are exact (row
+  sums <= n, far below 2^31), so the parity is exact.  Peak memory is
+  O((n/c + k/c) * c^2 + k*B) regardless of frame size; this is what
+  lets amplification run at the frame sizes the decoder itself serves
+  (benchmarks/frame_scale.py) — 7.9x the round-3 two-level tile
+  stream, which built every tile from scratch (benchmarks/amplify.md).
 """
 
 from __future__ import annotations
@@ -83,75 +85,100 @@ def _hash_apply(T: jax.Array, bits: jax.Array) -> jax.Array:
     return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("n_in", "n_out", "bo", "bi"))
+@partial(jax.jit, static_argnames=("n_in", "n_out", "c"))
 def _hash_apply_blocked(
     s: jax.Array,  # [n_in + n_out - 1] seed bits (the classical message)
     bits: jax.Array,  # [B, n_in] uint8
     n_in: int,
     n_out: int,
-    bo: int,  # output-rows per block
-    bi: int,  # input-cols per block (tall: amortizes the block build)
+    c: int,  # square block size
 ) -> jax.Array:
-    """Streaming block-Toeplitz hash: T is never materialized.
+    """Streaming block-Toeplitz hash: T is never materialized in full.
 
-    T[i, j] = s[i - j + n_in - 1]; block (I, J) of shape [bo, bi] is the
-    SAME static gather pattern applied to a sliding (bo + bi - 1)-slice
-    of s, built in VMEM-sized pieces and consumed by one MXU matmul
-    each.  Exact: per-block row sums <= bi, f32 accumulation across
-    blocks <= n_in < 2^24.
+    With SQUARE [c, c] blocks, T is block-Toeplitz: block (I, J) of
+    T[i, j] = s[i - j + n_in - 1] depends only on the diagonal d = I - J,
+    so only nI + nJ - 1 distinct blocks exist (245 + 512 = 757 at the
+    262k production shape) instead of nI * nJ tiles (125,440).  All
+    distinct blocks are built ONCE per call as an int8 [nD, c, c] stack
+    via vectorized shear tiling, then the product accumulates
+
+        out_block[I] += D[I - J] @ x_block[J]      for J = 0..nJ-1
+
+    where each scan step's LHS is a CONTIGUOUS [nI*c, c] row-slice of
+    the stack (the nI diagonals that pair with x_block[J], e = I - J +
+    nJ - 1 being consecutive in I) — an aligned dynamic_slice, one MXU
+    matmul, one full-width add.  int8 operands with int32 accumulation
+    are exact (row sums <= n_in << 2^31); parity mod 2 at the end.
+
+    Round 4 (7.9x over the round-3 two-level scan at 262k, measured in
+    benchmarks/amplify.md): the round-3 path built EVERY [bo, bi] tile
+    from scratch (write + read ~2 passes over n_out*n_in bf16 material,
+    plus an unaligned lane-offset slice per tile); here tile material is
+    nD*c*c int8 built once, and the dominant traffic is the D-stack
+    re-read per scan step (~nJ * nI*c*c int8 — at 262k, 33 GB vs the
+    round-3 ~130+ GB with relayouts).
+
+    Shear tiling (contiguous copies only, no gathers): broadcasting a
+    period-(2c) vector into rows of length 2c - 1 shifts each row's
+    phase by one.  With v = [flip(local), 0] rotated left by c - 1, the
+    [c, c] Toeplitz block D[e][a, b] = local_e[a - b + c - 1] lands in
+    columns [0, c) — a LANE-ALIGNED slice (the round-3 tile sliced at
+    column bo - 1, an unaligned lane offset forcing a relayout per
+    tile).  A gather formulation of the same tile was ~100x slower on
+    TPU (4M single-element descriptors); XLA's conv_general_dilated on
+    huge 1-D kernels is equally unusable (~7.7 s at 262k), and the FFT
+    formulation cannot run at all — this backend implements no complex
+    dtypes (benchmarks/amplify.md).
     """
     B = bits.shape[0]
-    nI = -(-n_out // bo)
-    nJ = -(-n_in // bi)
-    # Zero-pad s so every block's (bo + bi - 1)-slice is in-bounds: bi
-    # zeros in front (left-edge partial blocks), the tail covers
-    # right-edge partial blocks.  Out-of-range T entries multiply the
-    # zero-padding of x or land in discarded rows, so their value is
-    # irrelevant — only the slice bounds matter.
-    s_ext = jnp.concatenate([
-        jnp.zeros((bi,), s.dtype), s,
-        jnp.zeros((max(nI * bo - n_out, 0) + bo,), s.dtype),
-    ])
-    x = jnp.pad(bits, ((0, 0), (0, nJ * bi - n_in))).astype(jnp.bfloat16)
-    xT = x.T.reshape(nJ, bi, B)  # [nJ, bi, B] chunked frames
+    nI = -(-n_out // c)
+    nJ = -(-n_in // c)
+    nD = nI + nJ - 1
+    Np, Mp = nJ * c, nI * c
+    # s' = [Np - n_in zeros | s | Mp - n_out zeros]: the front zeros
+    # pair with the zero-padded tail of x (columns j >= n_in), the rear
+    # zeros land in discarded rows (i >= n_out) — never observed.
+    # Block (I, J) entry (a, b) is s'[c*(I - J) + (a - b) + Np - 1], so
+    # local_e = s'[c*e : c*e + 2c - 1] with e = I - J + nJ - 1.
+    spad = jnp.concatenate([
+        jnp.zeros((Np - n_in,), jnp.int8), s.astype(jnp.int8),
+        jnp.zeros((Mp - n_out,), jnp.int8),
+    ])  # [Mp + Np - 1]
+    A = jnp.concatenate([spad, jnp.zeros((1,), jnp.int8)]).reshape(nD + 1, c)
+    locs = jnp.concatenate([A[:-1], A[1:, : c - 1]], axis=1)  # [nD, 2c-1]
+    V = jnp.concatenate(
+        [jnp.flip(locs, axis=1), jnp.zeros((nD, 1), jnp.int8)], axis=1
+    )  # [nD, 2c]
+    Vr = jnp.concatenate([V[:, c - 1 :], V[:, : c - 1]], axis=1)
+    D = (
+        jnp.broadcast_to(Vr[:, None, :], (nD, c, 2 * c))
+        .reshape(nD, 2 * c * c)[:, : c * (2 * c - 1)]
+        .reshape(nD, c, 2 * c - 1)[:, :, :c]
+    )
+    Dflat = D.reshape(nD * c, c)
 
-    L = bo + bi - 1  # distinct values per Toeplitz tile
+    xb = (
+        jnp.pad(bits, ((0, 0), (0, Np - n_in)))
+        .astype(jnp.int8).T.reshape(nJ, c, B)
+    )
 
-    def toeplitz_tile(local):
-        """[L] slice -> [bo, bi] tile with tile[a, b] = local[a - b + bi - 1],
-        using only contiguous copies (no gathers): tiling a
-        period-(L + 1) sequence into rows of length L shears each row's
-        phase by one — tile(v, bo).reshape(bo, L)[a, j] = v[(j - a) mod
-        (L + 1)] — so with v = flip(local) + one junk element, columns
-        [bo - 1, bo - 1 + bi) are exactly the Toeplitz tile.  (A gather
-        formulation of the same tile was ~100x slower on TPU: 4M
-        single-element descriptors per block.)
-        """
-        v = jnp.concatenate([jnp.flip(local), jnp.zeros((1,), local.dtype)])
-        t = jnp.broadcast_to(v, (bo, L + 1)).reshape(-1)[: bo * L]
-        return t.reshape(bo, L)[:, bo - 1 : bo - 1 + bi]
-
-    def row_block(I):
-        def body(acc, J):
-            # Block (I, J) holds s[I*bo + a - (J*bi + b) + n_in - 1]
-            # = s_ext[start + a - b + bi - 1], start = I*bo - J*bi + n_in.
-            start = I * bo - J * bi + n_in
-            local = jax.lax.dynamic_slice(s_ext, (start,), (L,))
-            Tb = toeplitz_tile(local).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                Tb, xT[J], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return acc, None
-
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((bo, B), jnp.float32),
-            jnp.arange(nJ, dtype=jnp.int32),
+    def step(acc, J):
+        # Diagonals pairing x_block[J] with every I: e = I + (nJ-1-J),
+        # I = 0..nI-1 — rows [(nJ-1-J)*c, (nJ-1-J+nI)*c) of Dflat.
+        Dwin = jax.lax.dynamic_slice(
+            Dflat, ((nJ - 1 - J) * c, 0), (nI * c, c)
         )
-        return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+        acc = acc + jax.lax.dot_general(
+            Dwin, xb[J], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc, None
 
-    y = jax.lax.map(row_block, jnp.arange(nI, dtype=jnp.int32))  # [nI, bo, B]
-    return y.reshape(nI * bo, B)[:n_out].T
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((nI * c, B), jnp.int32),
+        jnp.arange(nJ, dtype=jnp.int32),
+    )
+    return (acc[:n_out] & 1).astype(jnp.uint8).T
 
 
 # Above this many T entries the dense path materializes an unreasonable
@@ -164,7 +191,6 @@ def toeplitz_hash(
     seed_key: jax.Array,
     n_out: int,
     block_out: int = 512,
-    block_in: int = 8192,
     method: str = "auto",  # "auto" | "dense" | "blocked"
 ) -> jax.Array:
     """Hash key frames [B, n] (or [n]) to [B, n_out] (or [n_out]) bits.
@@ -182,11 +208,9 @@ def toeplitz_hash(
         out = _hash_apply(T, arr)
     elif method == "blocked":
         s = jax.random.bernoulli(seed_key, 0.5, (n_in + n_out - 1,)).astype(
-            jnp.bfloat16
+            jnp.int8
         )
-        out = _hash_apply_blocked(
-            s, arr, n_in, n_out, min(block_out, n_out), min(block_in, n_in)
-        )
+        out = _hash_apply_blocked(s, arr, n_in, n_out, min(block_out, n_out))
     else:
         raise ValueError(f"Unknown method {method!r}")
     return out[0] if jnp.asarray(bits).ndim == 1 else out

@@ -62,6 +62,7 @@ def _continuation_core(
     segment: int,
     refill_min: int,
     opts: DecodeOptions,
+    prng: str = "threefry",
 ) -> jax.Array:
     """Trials [trial_offset, trial_offset + trials) of P consecutive
     sweep points with CROSS-POINT lane continuation; returns the stacked
@@ -125,7 +126,7 @@ def _continuation_core(
         # most one block per point, amortized across the whole point).
         ne = num_errors[sp]
         a_new, b_new = make_trials_from_ids(
-            jnp.take(point_keys, sp, axis=0), N, ids, ne
+            jnp.take(point_keys, sp, axis=0), N, ids, ne, prng
         )
         aq = ne.astype(jnp.float32) / N
         stage = (
@@ -294,7 +295,8 @@ def _continuation_core(
     return jnp.stack(final[14])
 
 
-@partial(jax.jit, static_argnames=("batch", "segment", "refill_min", "opts"))
+@partial(jax.jit,
+         static_argnames=("batch", "segment", "refill_min", "opts", "prng"))
 def _continuation_point(
     code: LDPCCode,
     point_key: jax.Array,
@@ -304,15 +306,17 @@ def _continuation_point(
     segment: int,
     refill_min: int,
     opts: DecodeOptions,
+    prng: str = "threefry",
 ) -> jax.Array:
     """Single-device continuation point (stacked [7] int32 stats)."""
     return _continuation_sweep(
         code, point_key[None], num_errors[None], trials,
-        batch, segment, refill_min, opts,
+        batch, segment, refill_min, opts, prng,
     )[:, 0]
 
 
-@partial(jax.jit, static_argnames=("batch", "segment", "refill_min", "opts"))
+@partial(jax.jit,
+         static_argnames=("batch", "segment", "refill_min", "opts", "prng"))
 def _continuation_sweep(
     code: LDPCCode,
     point_keys: jax.Array,  # [P, ...] PRNG keys
@@ -322,16 +326,17 @@ def _continuation_sweep(
     segment: int,
     refill_min: int,
     opts: DecodeOptions,
+    prng: str = "threefry",
 ) -> jax.Array:
     """Single-device cross-point continuation sweep ([7, P] stats)."""
     return _continuation_core(
         code, point_keys, num_errors, trials, jnp.asarray(0, jnp.int32),
-        batch, segment, refill_min, opts,
+        batch, segment, refill_min, opts, prng,
     )
 
 
 @partial(jax.jit, static_argnames=("batch", "segment", "refill_min", "opts",
-                                   "mesh"))
+                                   "mesh", "prng"))
 def _continuation_sweep_mesh(
     code: LDPCCode,
     point_keys: jax.Array,  # [P, ...] PRNG keys
@@ -342,6 +347,7 @@ def _continuation_sweep_mesh(
     refill_min: int,
     opts: DecodeOptions,
     mesh,
+    prng: str = "threefry",
 ) -> jax.Array:
     """Cross-point continuation sweep sharded over the ``trial`` axis.
 
@@ -366,7 +372,7 @@ def _continuation_sweep_mesh(
         n_local = q + (s < r).astype(jnp.int32)
         stacked = _continuation_core(
             code, point_keys, num_errors, n_local, lo,
-            batch, segment, refill_min, opts,
+            batch, segment, refill_min, opts, prng,
         )
         sums = jax.lax.psum(stacked[:5], TRIAL_AXIS)
         mn = jax.lax.pmin(stacked[5], TRIAL_AXIS)
@@ -406,6 +412,7 @@ def dispatch_sweep_continuation(
     mesh=None,
     segment: int = 4,
     refill_frac: float = 0.25,
+    prng: str = "threefry",
 ) -> tuple[list[list], list[float]]:
     """Dispatch P consecutive waterfall points as ONE cross-point
     continuation program (drained lanes of point p host point p+1's
@@ -429,11 +436,11 @@ def dispatch_sweep_continuation(
     tr = jnp.asarray(trials, jnp.int32)
     if mesh is not None:
         future = _continuation_sweep_mesh(
-            code, keys, ne, tr, batch, segment, refill_min, opts, mesh
+            code, keys, ne, tr, batch, segment, refill_min, opts, mesh, prng
         )
     else:
         future = _continuation_sweep(
-            code, keys, ne, tr, batch, segment, refill_min, opts
+            code, keys, ne, tr, batch, segment, refill_min, opts, prng
         )
     holder = {"future": future, "host": None}
     futures = [[_SweepSlice(holder, i)] for i in range(len(qbers))]

@@ -109,6 +109,7 @@ def point_batch_partials(
     valid_count: jax.Array,  # scalar int32 (traced)
     batch: int,
     opts: DecodeOptions,
+    prng: str = "threefry",
 ) -> dict[str, jax.Array]:
     """One fused device step: trials [offset, offset+batch) -> partial sums.
 
@@ -117,7 +118,7 @@ def point_batch_partials(
     entry the sequential runner uses.
     """
     alice, bob = make_trial_batch(
-        point_key, code.n_vars, batch, num_errors, trial_offset
+        point_key, code.n_vars, batch, num_errors, trial_offset, prng
     )
     actual_qber = num_errors.astype(jnp.float32) / code.n_vars
     res = reconcile(code, alice, bob, actual_qber, opts)
@@ -129,10 +130,11 @@ def point_batch_partials(
 
 
 def _point_batch_stacked(code, point_key, num_errors, trial_offset,
-                         valid_count, batch, opts):
+                         valid_count, batch, opts, prng):
     return stack_partials(
         point_batch_partials(
-            code, point_key, num_errors, trial_offset, valid_count, batch, opts
+            code, point_key, num_errors, trial_offset, valid_count, batch,
+            opts, prng,
         )
     )
 
@@ -140,12 +142,12 @@ def _point_batch_stacked(code, point_key, num_errors, trial_offset,
 # Stacked [7] int32 output: ONE device->host transfer per batch (a dict of
 # seven scalars costs seven ~25 ms round-trips on a tunneled remote device).
 _point_batch_step = jax.jit(
-    _point_batch_stacked, static_argnames=("batch", "opts")
+    _point_batch_stacked, static_argnames=("batch", "opts", "prng")
 )
 
 
 def _point_chunk(code, point_key, num_errors, start_offset, total_valid,
-                 batch, n_batches, opts):
+                 batch, n_batches, opts, prng="threefry"):
     """``n_batches`` sequential trial batches chained on-device via scan:
     one dispatch + one host fetch per chunk instead of per batch (dispatch
     costs ~25-30 ms on a tunneled remote device).  The tail batch masks
@@ -155,13 +157,13 @@ def _point_chunk(code, point_key, num_errors, start_offset, total_valid,
         offset = start_offset + i * batch
         valid = jnp.clip(total_valid - i * batch, 0, batch)
         red = point_batch_partials(
-            code, point_key, num_errors, offset, valid, batch, opts
+            code, point_key, num_errors, offset, valid, batch, opts, prng
         )
         return merge_partials_tree(carry, red), None
 
     init = point_batch_partials(
         code, point_key, num_errors, start_offset,
-        jnp.clip(total_valid, 0, batch), batch, opts,
+        jnp.clip(total_valid, 0, batch), batch, opts, prng,
     )
     out, _ = jax.lax.scan(
         body, init, jnp.arange(1, n_batches, dtype=jnp.int32)
@@ -170,7 +172,7 @@ def _point_chunk(code, point_key, num_errors, start_offset, total_valid,
 
 
 _point_chunk_step = jax.jit(
-    _point_chunk, static_argnames=("batch", "n_batches", "opts")
+    _point_chunk, static_argnames=("batch", "n_batches", "opts", "prng")
 )
 
 
@@ -195,6 +197,7 @@ def _dispatch_point(
     batch: int,
     opts: DecodeOptions,
     max_batches_per_dispatch: int = 64,
+    prng: str = "threefry",
 ) -> tuple[list, float]:
     """Dispatch all trials of one point as queued device calls WITHOUT
     fetching; returns (list of unfetched stacked stats, actual QBER).
@@ -238,6 +241,7 @@ def _dispatch_point(
                 batch,
                 n_batches,
                 opts,
+                prng,
             )
         )
         offset += valid
@@ -265,6 +269,7 @@ def run_point(
     opts: DecodeOptions,
     tick: Callable[[int], None] | None = None,
     max_batches_per_dispatch: int = 64,
+    prng: str = "threefry",
 ) -> tuple[PointPartials, float]:
     """Run all trials of one (matrix, QBER) point; returns (partials, actual QBER).
 
@@ -273,7 +278,8 @@ def run_point(
     dispatch + one scalar fetch regardless of trial count.
     """
     futures, actual_qber = _dispatch_point(
-        code, point_key, qber, trials, batch, opts, max_batches_per_dispatch
+        code, point_key, qber, trials, batch, opts, max_batches_per_dispatch,
+        prng,
     )
     total = _collect_point(futures)
     if tick is not None:
@@ -306,11 +312,16 @@ def _experiment_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
     thresholds would otherwise collide on the same filename)."""
     import hashlib
 
+    # NOTE: compact_after is deliberately absent — compaction is a
+    # schedule change with bit-identical results, so resuming a sweep
+    # with it toggled is sound.  prng IS result-determining (contract
+    # v1 vs v2 streams differ).
     parts = [
         f"{cfg.trials_number}|{cfg.simulation_seed}|"
         f"{cfg.sum_product_max_iterations}|{cfg.decoder}|{cfg.min_sum_alpha}|"
         f"{cfg.dtype}|{cfg.backend}|{cfg.enable_sum_product_msg_llr_threshold}|"
         f"{cfg.sum_product_msg_llr_threshold}"
+        + ("" if cfg.prng == "threefry" else f"|prng={cfg.prng}")
     ]
     for si in sim_inputs:
         parts.append(
@@ -371,7 +382,9 @@ def batch_simulation(
     opts = decode_options_from_config(cfg)
     ckpt_path = _checkpoint_path(cfg, sim_inputs)
     done = _load_checkpoint(ckpt_path)
-    master = jax.random.PRNGKey(cfg.simulation_seed)
+    from qkd_ldpc_tpu.channel.keys import master_key
+
+    master = master_key(cfg.simulation_seed, cfg.prng)
     # Rank-awareness (multi-process jax.distributed runs): every process
     # executes the same device programs (collectives require it) and
     # reads the checkpoint for resume decisions — which must agree, so
@@ -419,11 +432,21 @@ def batch_simulation(
     sim_number = 0
     for si in sim_inputs:
         batch = auto_batch_size(cfg, si.code)
+        if cfg.compact_after > 0 and batch >= 8:
+            # Residency compaction: schedule-only, bit-identical
+            # (decoder/bp.py).  Lanes = batch/4 — comfortably above the
+            # unconverged fraction at any plateau point; waterfall
+            # points overflow into the exact full-batch fallback.
+            opts = dataclasses.replace(
+                opts, compact_after=cfg.compact_after,
+                compact_lanes=batch // 4,
+            )
         if mesh is not None:
             from qkd_ldpc_tpu.parallel.mesh import replicated
             from qkd_ldpc_tpu.parallel.sweep import make_point_dispatcher
 
-            mesh_dispatch = make_point_dispatcher(si.code, batch, opts, mesh)
+            mesh_dispatch = make_point_dispatcher(si.code, batch, opts, mesh,
+                                                  prng=cfg.prng)
             # Continuation points reuse a mesh-replicated code copy.
             code_dev = (
                 jax.device_put(si.code, replicated(mesh))
@@ -453,7 +476,8 @@ def batch_simulation(
                 )
             else:
                 futures, actual_qber = _dispatch_point(
-                    code_dev, point_key, qber, cfg.trials_number, batch, opts
+                    code_dev, point_key, qber, cfg.trials_number, batch, opts,
+                    prng=cfg.prng,
                 )
             pending.append((sim_number, si, actual_qber, futures))
             if len(pending) > 1:  # keep one point in flight
@@ -472,7 +496,7 @@ def batch_simulation(
             futs, actuals = dispatch_sweep_continuation(
                 code_dev, [k for _, _, k in cont_entries],
                 [q for _, q, _ in cont_entries], cfg.trials_number,
-                batch, opts, mesh=mesh,
+                batch, opts, mesh=mesh, prng=cfg.prng,
             )
             for (num, _, _), f, aq in zip(cont_entries, futs, actuals):
                 pending.append((num, si, aq, f))

@@ -177,3 +177,35 @@ def test_pallas_threshold_matches_xla():
         out = kth_smallest_pallas(scores, jnp.asarray(k, jnp.int32),
                                   interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_master_key_impl_validation():
+    from qkd_ldpc_tpu.channel import master_key
+
+    k1 = master_key(777)
+    k2 = master_key(777, "pallas")
+    # Both contracts share the threefry key-derivation tree.
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k1)), np.asarray(jax.random.key_data(k2))
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="prng impl"):
+        master_key(777, "rbg")
+
+
+def test_pallas_prng_falls_back_off_tpu():
+    # Contract v2 only exists on TPU; elsewhere prng="pallas" silently
+    # produces the v1 threefry stream (documented fallback).
+    from qkd_ldpc_tpu.channel import make_trials_from_ids
+
+    pk = derive_point_key(777, 0)
+    ids = jnp.arange(16, dtype=jnp.uint32)
+    a1, b1 = make_trials_from_ids(pk, 256, ids, jnp.asarray(12, jnp.int32))
+    a2, b2 = make_trials_from_ids(
+        pk, 256, ids, jnp.asarray(12, jnp.int32), prng="pallas"
+    )
+    if jax.default_backend() == "tpu":  # pragma: no cover - CPU suite
+        return
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

@@ -516,3 +516,62 @@ def test_high_row_degree_code():
     r = reconcile(code, a, b, ne / code.n_vars,
                   DecodeOptions(max_iterations=60))
     assert int(np.asarray(r.keys_match).sum()) >= 12  # near threshold
+
+
+@pytest.mark.parametrize("algorithm,dtype", [
+    ("sum-product", "float32"),
+    ("sum-product", "bfloat16"),
+    ("min-sum", "bfloat16"),
+    ("sum-product", "int8"),
+])
+def test_compaction_bit_identical(medium_code, algorithm, dtype):
+    """Residency compaction (round 4) is a SCHEDULE change only: for
+    every lane — converged in phase A, finished compacted in phase B,
+    or overflowed into the full-batch fallback phase C — decisions,
+    iteration counts, and convergence flags equal the plain loop's."""
+    from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
+    from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
+    from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
+
+    B = 32
+    # (qber, compact_after, compact_lanes): the 0.09 x 4-lane case forces
+    # the overflow fallback (far more than 4 unconverged lanes at k1);
+    # 0.02 converges almost entirely inside phase A; 0.05 exercises the
+    # intended phase-B schedule.
+    cases = [(0.02, 4, 8), (0.05, 4, 8), (0.09, 3, 4)]
+    for qber, k1, b2 in cases:
+        n_err = num_errors_for(medium_code.n_vars, qber)
+        alice, bob = make_trial_batch(
+            jax.random.PRNGKey(hash((algorithm, qber)) % (2**31)),
+            medium_code.n_vars, B, jnp.asarray(n_err, jnp.int32),
+        )
+        llr = apriori_llr(bob, n_err / medium_code.n_vars)
+        syn = syndrome_fn(medium_code, alice)
+        base = dict(max_iterations=40, algorithm=algorithm,
+                    message_dtype=dtype)
+        plain = decode(medium_code, llr, syn, DecodeOptions(**base))
+        comp = decode(
+            medium_code, llr, syn,
+            DecodeOptions(**base, compact_after=k1, compact_lanes=b2),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.bits), np.asarray(comp.bits),
+            err_msg=f"{algorithm}/{dtype} qber={qber}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.iterations), np.asarray(comp.iterations),
+            err_msg=f"{algorithm}/{dtype} qber={qber}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.syndromes_match),
+            np.asarray(comp.syndromes_match),
+        )
+
+
+def test_compaction_validation():
+    with pytest.raises(ValueError):
+        DecodeOptions(compact_after=4)  # lanes missing
+    with pytest.raises(ValueError):
+        DecodeOptions(compact_lanes=8)
+    with pytest.raises(ValueError):
+        DecodeOptions(compact_after=-1, compact_lanes=8)
