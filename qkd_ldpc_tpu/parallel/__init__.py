@@ -13,6 +13,10 @@ from qkd_ldpc_tpu.parallel.node_sharded import (
     bp_decode_node_sharded,
     decode_node_sharded,
 )
+from qkd_ldpc_tpu.parallel.qc_node_sharded import (
+    bp_decode_qc_node_sharded,
+    decode_qc_node_sharded,
+)
 from qkd_ldpc_tpu.parallel.sweep import (
     run_point_node_sharded,
     run_point_sharded,
@@ -22,6 +26,8 @@ from qkd_ldpc_tpu.parallel.sweep import (
 __all__ = [
     "bp_decode_node_sharded",
     "decode_node_sharded",
+    "bp_decode_qc_node_sharded",
+    "decode_qc_node_sharded",
     "NODE_AXIS",
     "TRIAL_AXIS",
     "initialize_distributed",
