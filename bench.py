@@ -49,8 +49,14 @@ REFERENCE_ALIST = (
 def _load_flagship():
     from qkd_ldpc_tpu.codes import make_code, make_qc_code, read_alist
 
-    if os.environ.get("BENCH_CODE", "qc") == "qc":
+    which = os.environ.get("BENCH_CODE", "qc")
+    if which == "qc":
         return make_qc_code(z=512, nb=20, mb=10, dv=3, seed=666)
+    if which == "qc-ref":
+        # The QC family at the reference's own rate profile (VERDICT r3
+        # item 7): N=10240, M=5248, R=0.4875, mixed 5/6 base rows — the
+        # closest QC point to the reference alist's R=0.489 histogram.
+        return make_qc_code(z=128, nb=80, mb=41, dv=3, seed=666)
     if os.path.exists(REFERENCE_ALIST):
         return read_alist(REFERENCE_ALIST)
     return make_code(n=10240, m=5231, dv=3, seed=666, name="flagship-n10240")

@@ -77,7 +77,12 @@ from qkd_ldpc_tpu.codes.qc import qc_cells
 from qkd_ldpc_tpu.decoder.bp import DecodeOptions, _exclusive_cumprod
 from qkd_ldpc_tpu.parallel.mesh import NODE_AXIS, TRIAL_AXIS
 
-_INF_BITS = jnp.int32(0x7F800000)  # float-bits of +inf (monotonic cap)
+# Float-bits of +inf (monotonic cap).  A plain numpy scalar, NOT
+# jnp.int32: a module-level jnp constant creates a device array at
+# import time, which initializes the XLA backend and breaks any caller
+# that must run jax.distributed.initialize() first (the rank-aware CLI
+# imports qkd_ldpc_tpu.parallel before bringing up the process group).
+_INF_BITS = np.int32(0x7F800000)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -336,7 +336,18 @@ def _node_sharded_chunk(
     from qkd_ldpc_tpu.decoder.reconcile import apriori_llr
     from qkd_ldpc_tpu.decoder.syndrome import syndrome as syndrome_fn
     from qkd_ldpc_tpu.parallel.node_sharded import bp_decode_node_sharded
+    from qkd_ldpc_tpu.parallel.qc_node_sharded import bp_decode_qc_node_sharded
     from qkd_ldpc_tpu.sim.runner import merge_partials_tree
+
+    # Mirror DecodeOptions.routing="auto" for the intra-frame axis: a QC
+    # code shards by whole circulant blocks (block rolls, no segment
+    # ops — parallel.qc_node_sharded); anything else takes the general
+    # adjacency decoder.  routing="gather" forces the general path;
+    # "roll" insists on QC (and raises inside the QC decoder otherwise).
+    use_qc = opts.routing == "roll" or (
+        opts.routing == "auto" and code.qc is not None
+    )
+    decode_sharded = bp_decode_qc_node_sharded if use_qc else bp_decode_node_sharded
 
     def one(i):
         offset = start_offset + i * batch
@@ -348,7 +359,7 @@ def _node_sharded_chunk(
         aq = num_errors.astype(jnp.float32) / n_bits
         llr = apriori_llr(bob, aq)
         syn = syndrome_fn(code, alice)
-        z, iters, ok = bp_decode_node_sharded(code, llr.T, syn.T, opts, mesh)
+        z, iters, ok = decode_sharded(code, llr.T, syn.T, opts, mesh)
         keys_match = jnp.all(z.T.astype(jnp.int8) == alice.astype(jnp.int8), axis=-1)
         return reduce_trials(ok, keys_match, iters, opts.max_iterations, valid)
 
@@ -375,10 +386,13 @@ def run_point_node_sharded(
     max_batches_per_dispatch: int = 64,
 ) -> tuple[PointPartials, float]:
     """One sweep point on a 2-D (trial, node) mesh: the batch shards over
-    ``trial`` while every frame's variable nodes shard over ``node``
-    (:func:`parallel.node_sharded.bp_decode_node_sharded`) — the sweep-level
-    composition of data parallelism with intra-frame model parallelism,
-    for frames too large (or too latency-critical) for one chip.
+    ``trial`` while every frame's variable nodes shard over ``node`` —
+    the sweep-level composition of data parallelism with intra-frame
+    model parallelism, for frames too large (or too latency-critical)
+    for one chip.  QC codes dispatch to the block-roll decoder
+    (:func:`parallel.qc_node_sharded.bp_decode_qc_node_sharded`) under
+    ``opts.routing`` "auto"/"roll"; others take the general adjacency
+    decoder (:func:`parallel.node_sharded.bp_decode_node_sharded`).
 
     Statistics: exactly the single-chip runner's for min-sum (its
     distributed reductions are associative); for sum-product the

@@ -47,6 +47,16 @@ def main(trials: int = 1000, batch: int = 250, generated: bool = False,
 
         code = make_qc_code(z=512, nb=20, mb=10, dv=3, seed=666)
         print(f"QC code {code}")
+    elif which == "qc-ref":
+        # Round-4 (VERDICT r3 item 7): the QC family at the reference's
+        # own rate profile — z=128, nb=80, mb=41 gives N=10240, M=5248,
+        # R=0.4875 with mixed degree-5/6 base rows (the closest QC point
+        # to the reference alist's R=0.489, 666x5/4565x6 histogram;
+        # /root/reference/alist_sparse_matrices header lines 1-4).
+        from qkd_ldpc_tpu.codes import make_qc_code
+
+        code = make_qc_code(z=128, nb=80, mb=41, dv=3, seed=666)
+        print(f"QC reference-profile code {code}")
     elif which == "random-r50":
         code = make_code(n=10240, m=5120, dv=3, seed=667, name="random-r50")
         print(f"matched-rate random code {code}")
@@ -89,7 +99,7 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="float32",
                     help="message_dtype: float32 | bfloat16 | int8")
     ap.add_argument("--code", default="", dest="which",
-                    help="'' (reference/generated) | qc | random-r50")
+                    help="'' (reference/generated) | qc | qc-ref | random-r50")
     ap.add_argument("--alg", default="sum-product",
                     help="sum-product | min-sum")
     a = ap.parse_args()

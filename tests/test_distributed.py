@@ -169,3 +169,22 @@ def test_two_process_cli_writes_one_artifact_set(tmp_path):
     m_ck = sorted((multi / "ckpt").glob("*.jsonl"))
     assert len(s_ck) == 1 and len(m_ck) == 1  # only process 0 wrote one
     assert s_ck[0].read_text() == m_ck[0].read_text()
+
+
+def test_package_import_does_not_initialize_backend():
+    """jax.distributed.initialize() must run before ANY backend init, so
+    importing the package (as the rank-aware CLI does) must not create
+    device arrays.  Regression: a module-level ``jnp.int32`` constant in
+    parallel/qc_node_sharded.py initialized the CPU backend at import
+    and broke every multi-process CLI bring-up (round 4)."""
+    script = (
+        "import qkd_ldpc_tpu, qkd_ldpc_tpu.cli, qkd_ldpc_tpu.parallel\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        "print('clean')\n"
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(Path(__file__).resolve().parent.parent)}
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0 and "clean" in out.stdout, out.stderr[-2000:]

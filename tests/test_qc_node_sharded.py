@@ -155,3 +155,30 @@ def test_qc_node_sharded_roll_parity(qc_code):
     np.testing.assert_array_equal(
         np.asarray(out.iterations), np.asarray(ref.iterations)
     )
+
+
+def test_qc_sweep_point_dispatches_to_block_rolls(qc_code, monkeypatch):
+    """run_point_node_sharded auto-routes a QC code to the block-roll
+    decoder (parallel/sweep.py dispatch on ``opts.routing`` x ``code.qc``)
+    and its partials match the single-chip runner's (min-sum: exactly
+    associative distributed reductions, so full stat equality holds on
+    any mesh)."""
+    import qkd_ldpc_tpu.parallel.node_sharded as general_ns
+    from qkd_ldpc_tpu.parallel import make_mesh, run_point_node_sharded
+    from qkd_ldpc_tpu.sim.runner import run_point
+
+    def _boom(*a, **k):  # the general path must not be traced for QC
+        raise AssertionError("general node-sharded decoder used for a QC code")
+
+    monkeypatch.setattr(general_ns, "bp_decode_node_sharded", _boom)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(777), 3)
+    opts = DecodeOptions(algorithm="min-sum", max_iterations=50)
+    p1, q1 = run_point(qc_code, key, 0.03, trials=32, batch=32, opts=opts)
+    mesh = make_mesh(n_trial=2, n_node=4)
+    p2, q2 = run_point_node_sharded(
+        qc_code, key, 0.03, trials=32, batch=32, opts=opts, mesh=mesh
+    )
+    assert q1 == q2 and p1.n_trials == p2.n_trials == 32
+    assert (p1.n_sp, p1.n_ldpc, p1.sum_it, p1.sum_it2, p1.min_it, p1.max_it) == \
+           (p2.n_sp, p2.n_ldpc, p2.sum_it, p2.sum_it2, p2.min_it, p2.max_it)
