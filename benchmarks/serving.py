@@ -4,10 +4,14 @@ End-to-end host-to-host reconcile() latency (NumPy in -> NumPy out,
 including padding, device transfer, decode, fetch) at several lane
 widths, 50 samples per row with p50/p95 (the round-2 table rested on 9
 samples and two rows were admitted noise-inflated).  On THIS setup the
-~28 ms tunnel round-trip dominates small-lane latency, so the
-round-trip is also measured and a subtracted column approximates a
-locally-attached chip.  The full secure chain (reconcile ->
-verification tags -> privacy amplification) is measured alongside.
+~28 ms tunnel round-trip dominates small-lane latency, so device-side
+step time is measured by CHAINED SLOPE (round 4): two scan-chained
+programs of k1/k2 identical serve steps, per-step time = the timing
+difference over (k2 - k1) — the round-trip cancels instead of being
+subtracted as a noisy constant (the round-3 method bottomed out at the
+tunnel's measurement floor for sub-round-trip rows).  The full secure
+chain (reconcile -> verification tags -> privacy amplification) is
+measured alongside.
 
 Usage (on the TPU): python benchmarks/serving.py [--samples 50]
 Findings: benchmarks/serving.md.
@@ -90,6 +94,26 @@ def main():
         # scalar checksum: forces the full decode without a 5 MB download
         return z.astype(jnp.int32).sum() + it.sum() + ok.sum()
 
+    @partial(jax.jit, static_argnames=("opts", "k"))
+    def _device_chain(code, bob_d, syn_d, q, opts, k):
+        """k sequential serve steps in ONE program.  Device time per step
+        is the SLOPE between two chain lengths — the tunnel round-trip
+        appears once in each timing and cancels in the difference, so no
+        subtracted constant and no measurement floor (the round-4 fix
+        for the flagged sub-round-trip cells in serving.md).  The carry
+        feeds the next step's q as ``q + 0.0 * checksum`` — value-
+        preserving (checksum is finite) but a real data dependency, so
+        XLA cannot collapse the identical steps."""
+
+        def body(carry, _):
+            z, it, ok = _serve_step(code, bob_d, syn_d,
+                                    q + 0.0 * carry, opts)
+            s = z.astype(jnp.int32).sum() + it.sum() + ok.sum()
+            return s.astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+        return out
+
     print(f"{'lanes':>6} {'host p50':>9} {'host p95':>9} "
           f"{'dev p50':>8} {'dev p95':>8} {'frames/s(dev)':>13}")
     opts = DecodeOptions(message_dtype="bfloat16")
@@ -108,19 +132,21 @@ def main():
 
         bob_d = jnp.asarray(bob[:lanes])
         syn_d = jnp.asarray(syn)
-        np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))  # warm
+        k1, k2 = 4, 12
+        np.asarray(_device_chain(rec.code, bob_d, syn_d, q, opts, k1))  # warm
+        np.asarray(_device_chain(rec.code, bob_d, syn_d, q, opts, k2))
         dev = []
-        for _ in range(args.samples):
+        for _ in range(max(args.samples // 4, 8)):
             t0 = time.perf_counter()
-            np.asarray(_device_step(rec.code, bob_d, syn_d, q, opts))
-            dev.append(time.perf_counter() - t0)
-        d50, d95 = _percentiles([max(t - rt, 1e-9) for t in dev])
-        # Below ~0.5 ms the RT subtraction is at the tunnel's noise
-        # floor — report the rate from p95 instead of a garbage p50.
-        basis = d50 if d50 > 0.5 else d95
-        rate = f"{lanes / (basis / 1e3):13.0f}" if basis > 0.5 else f"{'—':>13}"
+            np.asarray(_device_chain(rec.code, bob_d, syn_d, q, opts, k1))
+            t1 = time.perf_counter()
+            np.asarray(_device_chain(rec.code, bob_d, syn_d, q, opts, k2))
+            t2 = time.perf_counter()
+            dev.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        d50, d95 = _percentiles(dev)
+        rate = f"{lanes / (d50 / 1e3):13.0f}"
         print(f"{lanes:>6} {h50:7.1f}ms {h95:7.1f}ms "
-              f"{d50:6.1f}ms {d95:6.1f}ms {rate}")
+              f"{d50:6.2f}ms {d95:6.2f}ms {rate}")
 
     # Full secure chain at the throughput lane width.
     lanes = 128
