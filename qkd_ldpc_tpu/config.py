@@ -113,6 +113,12 @@ class Config:
     # gathered into batch/4 lanes and finished there (bit-identical
     # schedules — decoder/bp.py).  0 disables.
     compact_after: int = 0
+    # Message-passing schedule (DecodeOptions.schedule): "flooding" is
+    # the reference-parity two-phase schedule; "layered" is the serial
+    # check-layered schedule for QC codes (~half the iterations at
+    # equal-or-better FER; trajectories differ from the reference —
+    # decoder/layered.py).
+    schedule: str = "flooding"  # "flooding" | "layered"
     checkpoint_dir: str = ""  # "" disables sweep checkpointing
     results_dir: str = "results"
     matrix_dir: str = ""  # "" = use built-in discovery relative to cwd
@@ -152,6 +158,17 @@ class Config:
             raise ValueError(f"Unsupported prng implementation: {self.prng!r}")
         if self.compact_after < 0:
             raise ValueError("compact_after must be >= 0 (0 = off)")
+        if self.schedule not in ("flooding", "layered"):
+            raise ValueError(f"Unsupported schedule: {self.schedule!r}")
+        if self.schedule == "layered" and self.continuation_qber > 0:
+            # Continuation batching is built on the flooding loop's
+            # _DecodeCore; silently mixing flooding (continuation
+            # points) with layered (plain points) in one sweep would
+            # make the CSV a chimera of two trajectory families.
+            raise ValueError(
+                "schedule='layered' does not compose with "
+                "continuation_qber (set one or the other)"
+            )
         # Sorted ascending by code rate, as in reference config.cpp:102-106.
         object.__setattr__(
             self,
@@ -214,6 +231,7 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
         backend=str(raw.get("backend", "auto")),
         prng=str(raw.get("prng", "threefry")),
         compact_after=int(raw.get("compact_after", 0)),
+        schedule=str(raw.get("schedule", "flooding")),
         checkpoint_dir=str(raw.get("checkpoint_dir", "")),
         results_dir=str(raw.get("results_dir", "results")),
         matrix_dir=str(raw.get("matrix_dir", "")),

@@ -122,6 +122,19 @@ class DecodeOptions:
     # structures and ignore it.
     compact_after: int = 0  # iterations before compaction (0 = off)
     compact_lanes: int = 0  # compacted batch width (e.g. B // 4)
+    # Message-passing schedule (round 4).  "flooding" is the reference's
+    # two-phase schedule (all checks, then all variables — the parity
+    # contract; src/qkd_ldpc_algorithm.cpp:40-158).  "layered" is the
+    # serial check-layered schedule (Hocevar 2004) for QC codes only:
+    # one layer = one base row = z lifted checks; the total LLR updates
+    # IMMEDIATELY after each layer, so information propagates within a
+    # sweep and convergence takes roughly half the iterations at equal
+    # FER (decoder/layered.py; FER evidence in benchmarks/layered.md).
+    # A layered "iteration" sweeps every layer once — the same edge
+    # work as one flooding iteration.  Trajectories differ from
+    # flooding by construction (no reference-parity claim; statistics
+    # validated against the flooding curve).  Ignores compaction.
+    schedule: str = "flooding"  # "flooding" | "layered"
 
     def __post_init__(self):
         if self.max_iterations < 1:
@@ -145,6 +158,8 @@ class DecodeOptions:
             raise ValueError(
                 "compact_after and compact_lanes must be set together"
             )
+        if self.schedule not in ("flooding", "layered"):
+            raise ValueError(f"Unknown schedule {self.schedule!r}")
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -447,6 +462,10 @@ def bp_decode_batch_last(
     opts: DecodeOptions,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Core batched decode loop; returns (z [N,B] int8, iters [B], ok [B])."""
+    if opts.schedule == "layered":
+        from qkd_ldpc_tpu.decoder.layered import layered_decode_batch_last
+
+        return layered_decode_batch_last(code, llr, syndrome, opts)
     B = llr.shape[1]
     core = _DecodeCore(code, opts, llr.dtype, B)
     syndrome = syndrome.astype(jnp.int32)

@@ -426,17 +426,32 @@ def decode_qc_node_sharded(
     opts: DecodeOptions,
     mesh: Mesh,
 ):
-    """Batch-first convenience wrapper (mirrors ``decoder.bp.decode``)."""
+    """Batch-first convenience wrapper (mirrors ``decoder.bp.decode``).
+
+    Pads the batch to a multiple of the mesh's ``trial`` axis (inert
+    all-zero frames, sliced off on return) so any request size works —
+    the sweep runners round their own batches; this is for direct use.
+    """
     from qkd_ldpc_tpu.decoder.bp import DecodeResult
 
     single = llr.ndim == 1
     if single:
         llr = llr[None, :]
         syndrome = syndrome[None, :]
+    syndrome = jnp.asarray(syndrome)
+    B = llr.shape[0]
+    n_trial = mesh.shape.get(TRIAL_AXIS, 1)
+    pad = (-B) % n_trial
+    if pad:
+        llr = jnp.concatenate(
+            [llr, jnp.full((pad, llr.shape[1]), 1.0, llr.dtype)])
+        syndrome = jnp.concatenate(
+            [syndrome, jnp.zeros((pad, syndrome.shape[1]), syndrome.dtype)])
     z, iters, ok = _decode_qc_node_sharded_jit(
-        code, llr.T, jnp.asarray(syndrome).T, opts, mesh
+        code, llr.T, syndrome.T, opts, mesh
     )
-    res = DecodeResult(bits=z.T, iterations=iters, syndromes_match=ok)
+    res = DecodeResult(bits=z.T[:B], iterations=iters[:B],
+                       syndromes_match=ok[:B])
     if single:
         res = DecodeResult(res.bits[0], res.iterations[0],
                            res.syndromes_match[0])

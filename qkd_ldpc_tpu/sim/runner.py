@@ -67,6 +67,7 @@ def decode_options_from_config(cfg: Config) -> DecodeOptions:
         min_sum_beta=cfg.min_sum_beta,
         message_dtype=cfg.dtype,
         backend=cfg.backend,
+        schedule=cfg.schedule,
     )
 
 
@@ -322,6 +323,9 @@ def _experiment_fingerprint(sim_inputs: Sequence[SimInput], cfg: Config) -> str:
         f"{cfg.dtype}|{cfg.backend}|{cfg.enable_sum_product_msg_llr_threshold}|"
         f"{cfg.sum_product_msg_llr_threshold}"
         + ("" if cfg.prng == "threefry" else f"|prng={cfg.prng}")
+        # The layered schedule produces different trajectories (and so
+        # different statistics) than flooding — result-determining.
+        + ("" if cfg.schedule == "flooding" else f"|sched={cfg.schedule}")
     ]
     for si in sim_inputs:
         parts.append(

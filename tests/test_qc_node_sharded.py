@@ -182,3 +182,19 @@ def test_qc_sweep_point_dispatches_to_block_rolls(qc_code, monkeypatch):
     assert q1 == q2 and p1.n_trials == p2.n_trials == 32
     assert (p1.n_sp, p1.n_ldpc, p1.sum_it, p1.sum_it2, p1.min_it, p1.max_it) == \
            (p2.n_sp, p2.n_ldpc, p2.sum_it, p2.sum_it2, p2.min_it, p2.max_it)
+
+
+def test_qc_node_sharded_odd_batch_pads(qc_code):
+    """The convenience wrapper pads any batch size to the mesh's trial
+    multiple with inert frames and slices them back off (round-4 soak
+    found B=17 on a trial=4 mesh rejected by shard_map)."""
+    mesh = make_mesh(n_trial=4, n_node=2)
+    opts = DecodeOptions(max_iterations=40)
+    llr, syn = _trial_llr_syn(qc_code, 0.02, batch=17, seed=11)
+    ref = decode(qc_code, llr, syn, opts)
+    out = decode_qc_node_sharded(qc_code, llr, syn, opts, mesh)
+    assert out.bits.shape[0] == 17
+    np.testing.assert_array_equal(np.asarray(out.bits), np.asarray(ref.bits))
+    np.testing.assert_array_equal(
+        np.asarray(out.iterations), np.asarray(ref.iterations)
+    )
