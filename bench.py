@@ -134,14 +134,16 @@ def main() -> None:
     # BENCH_SCHEDULE=layered: serial check-layered sweeps (~1.7x fewer
     # iterations at QBER 0.05, equal-or-better FER — decoder/layered.py,
     # benchmarks/layered.md).  A different trajectory family than the
-    # reference's flooding schedule; compaction is a flooding-loop knob,
-    # so it is dropped when layered is selected.
+    # reference's flooding schedule.  Compaction composes (the layered
+    # loop has the same phase A/B/C structure); layered converges in
+    # ~half the sweeps, so BENCH_COMPACT's point is halved for it.
     schedule = os.environ.get("BENCH_SCHEDULE", "flooding")
     if schedule != "flooding":
         import dataclasses
 
         opts = dataclasses.replace(
-            opts, schedule=schedule, compact_after=0, compact_lanes=0
+            opts, schedule=schedule,
+            compact_after=max(compact // 2, 1) if compact else 0,
         )
     n_err = num_errors_for(code.n_vars, QBER)
     from qkd_ldpc_tpu.channel.keys import master_key

@@ -104,9 +104,14 @@ def main():
     key = jax.random.fold_in(master_key(777, "pallas"), 0)
     chunk_reps = 24
     e2e = {}
+    # Layered converges in ~half the sweeps, so its compaction point is
+    # half of flooding's (bit-identity: test_layered_compaction_bit_identical).
     for name, o in (("flooding", dataclasses.replace(
                         base, compact_after=8, compact_lanes=B // 4)),
-                    ("layered", dataclasses.replace(base, schedule="layered"))):
+                    ("layered", dataclasses.replace(base, schedule="layered")),
+                    ("lay+cmp", dataclasses.replace(
+                        base, schedule="layered",
+                        compact_after=4, compact_lanes=B // 4))):
         out = bench_mod._sweep_chunk(
             code, key, jnp.asarray(n_err, jnp.int32),
             jnp.asarray(0, jnp.int32), B, chunk_reps, o, "pallas")

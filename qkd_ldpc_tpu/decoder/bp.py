@@ -117,9 +117,10 @@ class DecodeOptions:
     # counts are BIT-IDENTICAL to the plain loop for every lane on
     # every input (tests/test_decoder.py::test_compaction_bit_identical)
     # — compaction changes the schedule, never the math.  Applies to
-    # the plain batched loop (sim runner, bench, serve); the
-    # continuation and node-sharded runners have their own loop
-    # structures and ignore it.
+    # the plain batched loop (sim runner, bench, serve) under BOTH
+    # schedules (the layered loop has the same phase A/B/C structure,
+    # decoder/layered.py); the continuation and node-sharded runners
+    # have their own loop structures and ignore it.
     compact_after: int = 0  # iterations before compaction (0 = off)
     compact_lanes: int = 0  # compacted batch width (e.g. B // 4)
     # Message-passing schedule (round 4).  "flooding" is the reference's
@@ -133,7 +134,9 @@ class DecodeOptions:
     # A layered "iteration" sweeps every layer once — the same edge
     # work as one flooding iteration.  Trajectories differ from
     # flooding by construction (no reference-parity claim; statistics
-    # validated against the flooding curve).  Ignores compaction.
+    # validated against the flooding curve).  Composes with residency
+    # compaction (layered converges in ~half the sweeps, so pick a
+    # correspondingly earlier compact_after).
     schedule: str = "flooding"  # "flooding" | "layered"
 
     def __post_init__(self):

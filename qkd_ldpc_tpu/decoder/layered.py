@@ -44,9 +44,20 @@ Semantics:
   because there is no first full-graph message exchange), min-sum
   alpha/beta, and the int8 fixed-point quantization points follow
   DecodeOptions exactly as the flooding loop does.
-- Residency compaction (``compact_after``) is a flooding-loop schedule
-  knob and is ignored here (layered's per-sweep cost already tracks the
-  active set through the early-exit mask semantics).
+- Residency compaction (``compact_after``/``compact_lanes``) composes
+  with the layered schedule exactly as with flooding (decoder/bp.py
+  phase A/B/C): per-sweep cost scales with the batch width (every
+  [z, B] slab op runs on all lanes, converged or not), so gathering the
+  unconverged minority into fewer lanes after ``compact_after`` sweeps
+  removes the early-exit barrier here too.  Frame trajectories are
+  lane-independent, so compaction is bit-identical to the plain loop
+  (tests/test_layered.py::test_layered_compaction_bit_identical).
+  Layered converges in roughly half the sweeps of flooding, so the
+  compaction point is correspondingly earlier (e.g. 4 instead of 8).
+- Console tracing (sim/tracing.py) runs on the f64 FLOODING oracle by
+  design (the compiled path carries no trace code); a traced
+  interactive run therefore shows flooding trajectories even when the
+  sweep itself is configured layered.
 """
 
 from __future__ import annotations
@@ -132,69 +143,139 @@ def layered_decode_batch_last(
         d: jnp.ones((d, z), bool) for d in {len(r) for r in rows}
     }
 
-    def sweep(t, Lr, act_f):
-        """One serial pass over all layers; act_f [B] gates updates."""
-        for i, row in enumerate(rows):
-            d = len(row)
-            Lq = jnp.stack([
-                clip_msgs(_rot(t[j], s) - from_storage(Lr[ci]))
-                for (ci, j, s) in row
-            ])  # [d, z, B]
-            if opts.algorithm == "sum-product":
-                Lr_new = _check_update_sum_product(
-                    Lq, ones_masks[d], sgn_rows[i]
-                )
-            else:
-                Lr_new = _check_update_min_sum(
-                    Lq, ones_masks[d], sgn_rows[i],
-                    opts.min_sum_alpha, opts.min_sum_beta,
-                )
-            Lr_new_q = to_storage(clip_msgs(Lr_new))
-            for k, (ci, j, s) in enumerate(row):
-                delta = from_storage(Lr_new_q[k]) - from_storage(Lr[ci])
-                t = t.at[j].add(_rot(delta, (z - s) % z) * act_f[None, :])
-                Lr = Lr.at[ci].set(
-                    jnp.where(act_f[None, :] > 0, Lr_new_q[k], Lr[ci])
-                )
-        return t, Lr
+    def make_loop(syn_rows_l, sgn_rows_l, frozen=None):
+        """Early-exit sweep loop over a (possibly compacted) batch.
 
-    def syndrome_ok(t):
-        """Decision syndrome == target, per frame ([B] bool)."""
-        zdec = (t <= 0).astype(jnp.int32)  # [nb, z, B]; total<=0 -> 1
-        bad = jnp.zeros((B,), jnp.int32)
-        for i, row in enumerate(rows):
-            p = jnp.zeros((z, B), jnp.int32)
-            for (_, j, s) in row:
-                p = p ^ _rot(zdec[j], s)
-            bad = bad + jnp.sum(p ^ syn_rows[i], axis=0)
-        return bad == 0
+        ``frozen`` ([Bl] bool, optional) marks lanes whose state and
+        bookkeeping must never change — the full-batch fallback phase
+        of the compaction schedule runs with the compacted lanes
+        frozen (mirrors decoder/bp._decode_loop; here the frozen lanes'
+        t must ALSO stay put because decisions derive from the final t,
+        which already holds their scattered phase-B result).
+        """
+        Bl = syn_rows_l.shape[2]
 
-    # Iteration counting matches the flooding loop's reference
-    # convention: a converged frame reports the sweep at which its
-    # decision syndrome first matched (state frozen afterwards by the
-    # active mask); failures report max_iterations.
-    iters0 = jnp.asarray(0, jnp.int32)
-    done0 = jnp.zeros((B,), bool)
+        def sweep(t, Lr, act_f):
+            """One serial pass over all layers; act_f [Bl] gates updates."""
+            for i, row in enumerate(rows):
+                d = len(row)
+                Lq = jnp.stack([
+                    clip_msgs(_rot(t[j], s) - from_storage(Lr[ci]))
+                    for (ci, j, s) in row
+                ])  # [d, z, Bl]
+                if opts.algorithm == "sum-product":
+                    Lr_new = _check_update_sum_product(
+                        Lq, ones_masks[d], sgn_rows_l[i]
+                    )
+                else:
+                    Lr_new = _check_update_min_sum(
+                        Lq, ones_masks[d], sgn_rows_l[i],
+                        opts.min_sum_alpha, opts.min_sum_beta,
+                    )
+                Lr_new_q = to_storage(clip_msgs(Lr_new))
+                for k, (ci, j, s) in enumerate(row):
+                    delta = from_storage(Lr_new_q[k]) - from_storage(Lr[ci])
+                    t = t.at[j].add(_rot(delta, (z - s) % z) * act_f[None, :])
+                    Lr = Lr.at[ci].set(
+                        jnp.where(act_f[None, :] > 0, Lr_new_q[k], Lr[ci])
+                    )
+            return t, Lr
 
-    def body2(carry):
-        t, Lr, it, iters, done = carry
-        act_f = jnp.logical_not(done).astype(dtype)
-        t, Lr = sweep(t, Lr, act_f)
-        it = it + 1
-        newly = jnp.logical_and(jnp.logical_not(done), syndrome_ok(t))
-        iters = jnp.where(newly, it, iters)
-        done = jnp.logical_or(done, newly)
-        return t, Lr, it, iters, done
+        def syndrome_ok(t):
+            """Decision syndrome == target, per frame ([Bl] bool)."""
+            zdec = (t <= 0).astype(jnp.int32)  # [nb, z, Bl]; total<=0 -> 1
+            bad = jnp.zeros((Bl,), jnp.int32)
+            for i, row in enumerate(rows):
+                p = jnp.zeros((z, Bl), jnp.int32)
+                for (_, j, s) in row:
+                    p = p ^ _rot(zdec[j], s)
+                bad = bad + jnp.sum(p ^ syn_rows_l[i], axis=0)
+            return bad == 0
 
-    def cond2(carry):
-        _, _, it, _, done = carry
-        return jnp.logical_and(it < opts.max_iterations,
-                               jnp.logical_not(jnp.all(done)))
+        def body(carry):
+            t, Lr, it, iters, done = carry
+            act = jnp.logical_not(done)
+            if frozen is not None:
+                act = act & jnp.logical_not(frozen)
+            t, Lr = sweep(t, Lr, act.astype(dtype))
+            it = it + 1
+            newly = act & syndrome_ok(t)
+            iters = jnp.where(newly, it, iters)
+            done = jnp.logical_or(done, newly)
+            return t, Lr, it, iters, done
 
-    t, Lr, _, iters, done = jax.lax.while_loop(
-        cond2, body2,
-        (t0, Lr0, iters0, jnp.zeros((B,), jnp.int32), done0),
+        def run(init, limit):
+            def cond(carry):
+                _, _, it, _, done = carry
+                not_done = jnp.logical_not(done)
+                if frozen is not None:
+                    not_done = not_done & jnp.logical_not(frozen)
+                return jnp.logical_and(it < limit, jnp.any(not_done))
+
+            return jax.lax.while_loop(cond, body, init)
+
+        return run
+
+    def finalize(t, iters, done):
+        # Iteration counting matches the flooding loop's reference
+        # convention: a converged frame reports the sweep at which its
+        # decision syndrome first matched (state frozen afterwards by
+        # the active mask); failures report max_iterations.
+        z_out = (t <= 0).astype(jnp.int8).reshape(nb * z, t.shape[2])
+        iters = jnp.where(done, jnp.maximum(iters, 1), opts.max_iterations)
+        return z_out, iters, done
+
+    run_full = make_loop(syn_rows, sgn_rows)
+    init = (
+        t0, Lr0, jnp.asarray(0, jnp.int32),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
     )
-    z_out = (t <= 0).astype(jnp.int8).reshape(nb * z, B)
-    iters = jnp.where(done, jnp.maximum(iters, 1), opts.max_iterations)
-    return z_out, iters, done
+
+    B2 = opts.compact_lanes
+    if not (0 < B2 < B and opts.compact_after < opts.max_iterations):
+        t, _, _, iters, done = run_full(init, opts.max_iterations)
+        return finalize(t, iters, done)
+
+    # ---- residency-compaction schedule: same phase A/B/C structure as
+    # the flooding loop (decoder/bp.bp_decode_batch_last).  Frame
+    # trajectories are lane-independent ([z, B] slab ops elementwise
+    # along B), so re-scheduling lanes is exact.
+    t_a, Lr_a, it_a, iters_a, done_a = run_full(init, opts.compact_after)
+
+    # Unconverged lanes first (argsort is stable: ties keep lane order);
+    # when fewer than compact_lanes are unconverged the tail picks
+    # already-done lanes, which the loop's masks keep inert.
+    idx = jnp.argsort(done_a.astype(jnp.int32), stable=True)[:B2]
+    run_b = make_loop(
+        jnp.take(syn_rows, idx, axis=2), jnp.take(sgn_rows, idx, axis=2)
+    )
+    init_b = (
+        jnp.take(t_a, idx, axis=2), jnp.take(Lr_a, idx, axis=2), it_a,
+        jnp.take(iters_a, idx, axis=0), jnp.take(done_a, idx, axis=0),
+    )
+    t_b, Lr_b, _, iters_b, done_b = run_b(init_b, opts.max_iterations)
+
+    # Scatter phase-B results back; decisions derive from t, so the
+    # compacted lanes' final t must land in the full slab (phase C's
+    # frozen mask then keeps it untouched).
+    t_full = t_a.at[:, :, idx].set(t_b)
+    Lr_full = Lr_a.at[:, :, idx].set(Lr_b)
+    iters_full = iters_a.at[idx].set(iters_b)
+    done_full = done_a.at[idx].set(done_b)
+    frozen = jnp.zeros((B,), bool).at[idx].set(True)
+
+    overflow = jnp.any(jnp.logical_not(done_full) & jnp.logical_not(frozen))
+    run_c = make_loop(syn_rows, sgn_rows, frozen=frozen)
+
+    def phase_c(args):
+        t_f, Lr_f, iters_f, done_f = args
+        t_o, Lr_o, _, iters_o, done_o = run_c(
+            (t_f, Lr_f, it_a, iters_f, done_f), opts.max_iterations
+        )
+        return t_o, Lr_o, iters_o, done_o
+
+    t, _, iters, done = jax.lax.cond(
+        overflow, phase_c, lambda args: args,
+        (t_full, Lr_full, iters_full, done_full),
+    )
+    return finalize(t, iters, done)

@@ -136,6 +136,44 @@ def test_layered_config_roundtrip(tmp_path):
                               continuation_qber=0.08))
 
 
+@pytest.mark.parametrize("alg", ["sum-product", "min-sum"])
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_layered_compaction_bit_identical(qc_code, alg, dtype):
+    """Residency compaction composes with the layered schedule as a
+    SCHEDULE change only (decoder/layered.py phase A/B/C): for every
+    lane — converged in phase A, finished compacted in phase B, or
+    overflowed into the frozen full-batch fallback phase C — decisions,
+    sweep counts, and convergence flags equal the plain layered loop's."""
+    B = 32
+    # Layered converges in ~half the flooding sweeps, so the compaction
+    # point is earlier.  The 0.10 x 4-lane case forces the overflow
+    # fallback; 0.02 converges almost entirely inside phase A; 0.05
+    # exercises the intended phase-B schedule.
+    cases = [(0.02, 2, 8), (0.05, 2, 8), (0.10, 2, 4)]
+    for qber, k1, b2 in cases:
+        _, llr, syn = _fixture(qc_code, qber, batch=B,
+                               seed=hash((alg, dtype, qber)) % (2**31))
+        base = dict(max_iterations=40, algorithm=alg, message_dtype=dtype,
+                    schedule="layered")
+        plain = decode(qc_code, llr, syn, DecodeOptions(**base))
+        comp = decode(
+            qc_code, llr, syn,
+            DecodeOptions(**base, compact_after=k1, compact_lanes=b2),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.bits), np.asarray(comp.bits),
+            err_msg=f"{alg}/{dtype} qber={qber}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.iterations), np.asarray(comp.iterations),
+            err_msg=f"{alg}/{dtype} qber={qber}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.syndromes_match),
+            np.asarray(comp.syndromes_match),
+        )
+
+
 def test_layered_fixed_seed_pin(qc_code):
     """Fixed-seed iteration pin (like tests/test_regression.py): catches
     unintended numeric drift in the layered update order.  Re-pin ONLY
