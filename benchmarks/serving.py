@@ -46,7 +46,13 @@ def main():
     ap.add_argument("--samples", type=int, default=50)
     ap.add_argument("--qc", action="store_true",
                     help="serve the QC z=512 code (roll routing)")
+    ap.add_argument("--schedule", default="flooding",
+                    choices=("flooding", "layered"),
+                    help="decode schedule (layered needs --qc; fewer "
+                         "sweeps -> lower tail latency is the hypothesis)")
     args = ap.parse_args()
+    if args.schedule == "layered" and not args.qc:
+        ap.error("--schedule layered requires --qc")
 
     from qkd_ldpc_tpu.channel.keys import make_trial_batch, num_errors_for
     from qkd_ldpc_tpu.codes import make_code, make_qc_code, read_alist
@@ -116,7 +122,7 @@ def main():
 
     print(f"{'lanes':>6} {'host p50':>9} {'host p95':>9} "
           f"{'dev p50':>8} {'dev p95':>8} {'frames/s(dev)':>13}")
-    opts = DecodeOptions(message_dtype="bfloat16")
+    opts = DecodeOptions(message_dtype="bfloat16", schedule=args.schedule)
     q = jnp.asarray(n_err / code.n_vars, jnp.float32)
     for lanes in (1, 32, 128, 512):
         rec = Reconciler(code, opts, lanes=lanes).warmup()

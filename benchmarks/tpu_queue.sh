@@ -56,8 +56,10 @@ run bench-layered      3600 env BENCH_SCHEDULE=layered python bench.py
 # 5. amplification: block-Toeplitz at 262k (target <=~100 ms / 32 frames).
 run amplify_lab        3600 python benchmarks/amplify_lab.py
 
-# 6. serving chained-slope device latencies.
+# 6. serving chained-slope device latencies (+ layered-schedule leg:
+#    fewer sweeps -> lower tail latency is the hypothesis to test).
 run serving            3600 python benchmarks/serving.py --qc
+run serving-layered    3600 python benchmarks/serving.py --qc --schedule layered
 
 # 7. reference-profile QC point (z=128, nb=80, mb=41, R=0.4875).
 run qcref_bench        3600 env BENCH_CODE=qc-ref python bench.py
