@@ -38,8 +38,9 @@ tests/test_postprocess.py):
   sums <= n, far below 2^31), so the parity is exact.  Peak memory is
   O((n/c + k/c) * c^2 + k*B) regardless of frame size; this is what
   lets amplification run at the frame sizes the decoder itself serves
-  (benchmarks/frame_scale.py) — 7.9x the round-3 two-level tile
-  stream, which built every tile from scratch (benchmarks/amplify.md).
+  (benchmarks/frame_scale.py) — measured 5.5x the round-3 two-level
+  tile stream, which built every tile from scratch
+  (benchmarks/amplify.md).
 """
 
 from __future__ import annotations
@@ -110,8 +111,9 @@ def _hash_apply_blocked(
     matmul, one full-width add.  int8 operands with int32 accumulation
     are exact (row sums <= n_in << 2^31); parity mod 2 at the end.
 
-    Round 4 (7.9x over the round-3 two-level scan at 262k, measured in
-    benchmarks/amplify.md): the round-3 path built EVERY [bo, bi] tile
+    Round 4 (measured 5.5x over the round-3 two-level scan at the 262k
+    production shape: 166 vs 916 ms/32-frame call at c=256, interleaved
+    — benchmarks/amplify.md): the round-3 path built EVERY [bo, bi] tile
     from scratch (write + read ~2 passes over n_out*n_in bf16 material,
     plus an unaligned lane-offset slice per tile); here tile material is
     nD*c*c int8 built once, and the dominant traffic is the D-stack
@@ -190,7 +192,9 @@ def toeplitz_hash(
     bits: jax.Array,
     seed_key: jax.Array,
     n_out: int,
-    block_out: int = 512,
+    block_out: int = 256,  # measured optimum at the 262k production
+    # shape (166 ms vs 199 at c=512, benchmarks/amplify.md); output is
+    # bit-identical for any block size
     method: str = "auto",  # "auto" | "dense" | "blocked"
 ) -> jax.Array:
     """Hash key frames [B, n] (or [n]) to [B, n_out] (or [n_out]) bits.
