@@ -174,6 +174,25 @@ def test_layered_compaction_bit_identical(qc_code, alg, dtype):
         )
 
 
+def test_layered_sharded_matches_single_device(qc_code):
+    """Trial-mesh sharding with schedule='layered' (+ compaction) is
+    bit-identical to the single-device runner — the determinism
+    contract extends to the new schedule (cf. tests/test_sharding.py)."""
+    from qkd_ldpc_tpu.parallel import make_trial_mesh, run_point_sharded
+    from qkd_ldpc_tpu.sim.runner import run_point
+
+    key = jax.random.fold_in(jax.random.PRNGKey(909), 0)
+    opts = DecodeOptions(max_iterations=60, schedule="layered",
+                         compact_after=2, compact_lanes=2)
+    p1, q1 = run_point(qc_code, key, 0.05, trials=64, batch=64, opts=opts)
+    p2, q2 = run_point_sharded(qc_code, key, 0.05, trials=64, batch=64,
+                               opts=opts, mesh=make_trial_mesh())
+    assert q1 == q2
+    for f in ("n_trials", "n_sp", "n_ldpc", "sum_it", "sum_it2",
+              "min_it", "max_it"):
+        assert getattr(p1, f) == getattr(p2, f), f
+
+
 def test_layered_fixed_seed_pin(qc_code):
     """Fixed-seed iteration pin (like tests/test_regression.py): catches
     unintended numeric drift in the layered update order.  Re-pin ONLY
