@@ -133,3 +133,21 @@ def test_rate_adaptive_example_runs(capsys):
     assert "8/8 frames corrected via Reconciler" in out
     assert "shortened s=512" in out
     assert "blind (d=256 punctured" in out
+
+
+def test_rate_adaptation_composes_with_layered_schedule():
+    """Rate adaptation is pure LLR bookkeeping over the UNMODIFIED
+    mother graph (module docstring), so a QC mother code keeps its
+    layered schedule: shortened frames decode with schedule='layered'
+    (+ compaction) to the exact keys, at a point the plain-rate code
+    cannot reach."""
+    from qkd_ldpc_tpu.codes import make_qc_code
+
+    mother_qc = make_qc_code(z=32, nb=32, mb=16, dv=3, seed=11)  # R=0.5
+    opts = DecodeOptions(max_iterations=60, schedule="layered",
+                         compact_after=2, compact_lanes=2)
+    short = RateAdapter.make(mother_qc, n_shortened=256, seed=4)
+    assert short.effective_rate < 0.36
+    ak, kh, it, ok, _ = _protocol(short, 0.095, 8, 7, opts)
+    assert ok.all(), it
+    np.testing.assert_array_equal(kh, ak)
