@@ -165,7 +165,21 @@ def main() -> None:
         v = np.asarray(out)  # single fetch; forces completion
         return dict(zip(STAT_KEYS, v.tolist()))
 
-    r = chunk(0)  # warm-up / compile
+    try:
+        r = chunk(0)  # warm-up / compile
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        # The hardware-PRNG kernel (contract v2) is the only piece of the
+        # default pipeline Mosaic could conceivably reject on a new
+        # compiler drop; an unattended bench run must degrade to the v1
+        # stream rather than fail outright.  The JSON stays honest: it
+        # reports whatever configuration actually ran.
+        if prng != "pallas":
+            raise
+        print(f"pallas PRNG path failed ({type(e).__name__}: {e}); "
+              f"falling back to threefry", file=sys.stderr)
+        prng = "threefry"
+        point_key = jax.random.fold_in(master_key(777, prng), 0)
+        r = chunk(0)
     print(
         f"warmup: SP success {int(r['n_sp'])}/{batch * reps}, "
         f"mean iters {float(r['sum_it']) / max(int(r['n_sp']), 1):.2f}",

@@ -68,4 +68,10 @@ run qcref_parity       14400 python tests/parity_sweep.py --code qc-ref --trials
 # 8. leave the cache warm on the shipping configuration.
 run bench-final        1800 python bench.py
 
+# 9. opportunistic (lowest priority): compaction-point tuning around the
+#    shipped k=8 — only reached if everything above drained.
+run bench-compact4     3600 env BENCH_COMPACT=4 python bench.py
+run bench-compact12    3600 env BENCH_COMPACT=12 python bench.py
+run bench-rewarm       1800 python bench.py
+
 echo "== queue done $(date) ==" | tee -a "$LOG"

@@ -206,6 +206,15 @@ def make_trials_from_ids(
     stream is a function of its own derived seed.  Off-TPU, "pallas"
     falls back to v1 (the hardware path does not exist there).
     """
+    if prng not in ("threefry", "pallas"):
+        # Validate at the lowest-level entry: anything unknown must NOT
+        # silently fall into the threefry else-branch below — a typo'd
+        # contract name would otherwise be unobservable (the caller
+        # believes they measured v2 while running v1).
+        raise ValueError(
+            f"Unknown prng contract {prng!r}: expected 'threefry' (v1) "
+            "or 'pallas' (v2)"
+        )
     trial_keys = jax.vmap(lambda t: jax.random.fold_in(point_key, t))(trial_ids)
     error_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(trial_keys)
     # Tie-break scores stay threefry in BOTH contracts: the branch fires

@@ -170,10 +170,7 @@ def _attach_qc_sidecar(code: LDPCCode, path: Path) -> LDPCCode:
         cells = {(int(i), int(j)): int(s) for i, j, s in meta["cells"]}
     except (KeyError, TypeError, ValueError) as e:
         raise ValueError(f"Corrupt QC sidecar {sidecar}: {e}") from e
-    from qkd_ldpc_tpu.codes.qc import (
-        check_adjacency_from_cells,
-        qc_layout_from_cells,
-    )
+    from qkd_ldpc_tpu.codes.qc import _row_cols, qc_layout_from_cells
 
     if z < 1 or code.n_vars % z or code.n_checks % z:
         raise ValueError(
@@ -181,20 +178,34 @@ def _attach_qc_sidecar(code: LDPCCode, path: Path) -> LDPCCode:
             f"dimensions N={code.n_vars}, M={code.n_checks}"
         )
     nb, mb = code.n_vars // z, code.n_checks // z
-    expect = check_adjacency_from_cells(cells, z, nb, mb)
     chk_adj = np.asarray(code.chk_adj)
     chk_mask = np.asarray(code.chk_mask)
-    for c, nbrs in enumerate(expect):
-        got = chk_adj[c, chk_mask[c]]
-        # EXACT slot order, not just edge-set equality: the roll layout
-        # assumes the canonical ascending-base-column slot order, and
-        # leave-one-out products round in slot order — a permuted file
-        # would make roll and gather trajectories diverge.
-        if got.size != nbrs.size or not np.array_equal(got, nbrs):
+    # One vectorized compare per BASE row (the lifted adjacency repeats
+    # blockwise for all z rows of a base row, so per-lifted-check Python
+    # loops would cost O(M) interpreter work on every load of a
+    # production-sized code).  EXACT slot order, not just edge-set
+    # equality: the roll layout assumes the canonical ascending-base-
+    # column slot order, and leave-one-out products round in slot order
+    # — a permuted file would make roll and gather trajectories diverge.
+    r = np.arange(z)[:, None]
+    row_cols = _row_cols(cells, mb)
+    for i in range(mb):
+        js = np.asarray(row_cols[i], dtype=np.int64)
+        shifts = np.asarray([cells[(i, j)] for j in row_cols[i]], np.int64)
+        d = js.size
+        rows = slice(i * z, (i + 1) * z)
+        mask = chk_mask[rows]
+        expect = js[None, :] * z + (r + shifts[None, :]) % z
+        if (
+            d > mask.shape[1]
+            or not mask[:, :d].all()
+            or mask[:, d:].any()
+            or not np.array_equal(chk_adj[rows, :d], expect)
+        ):
             raise ValueError(
                 f"QC sidecar {sidecar} does not describe the graph in "
-                f"{path} (first mismatch at check {c}); delete the stale "
-                "sidecar or regenerate the pair"
+                f"{path} (first mismatch at base row {i}); delete the "
+                "stale sidecar or regenerate the pair"
             )
     return dataclasses.replace(
         code, qc=qc_layout_from_cells(cells, z, nb, mb, code.dc_max, code.dv_max)
@@ -233,3 +244,8 @@ def write_alist(code: LDPCCode, path: str | Path) -> None:
             "z": z,
             "cells": sorted([i, j, s] for (i, j), s in cells.items()),
         }))
+    else:
+        # Overwriting a previously-QC path with a non-QC code must not
+        # leave the old sidecar behind: read_alist verifies sidecars
+        # against the graph and would reject the fresh file as corrupt.
+        qc_sidecar_path(path).unlink(missing_ok=True)

@@ -174,9 +174,9 @@ def qc_layout_from_cells(
 ) -> tuple:
     """The static ``(z, chk_plan, var_plan)`` layout tuple driving the
     decoder's unrolled roll routing, from the base cells alone — shared
-    by construction (:func:`make_qc_code`) and reload
-    (:func:`qc_layout_from_sidecar` via codes.alist), so a serialized QC
-    code reconstructs the exact in-memory layout.
+    by construction (:func:`make_qc_code`) and reload (the ``.qc.json``
+    sidecar path in ``codes.alist._attach_qc_sidecar``), so a serialized
+    QC code reconstructs the exact in-memory layout.
     """
     row_cols = _row_cols(cells, mb)
     cols: dict[int, list[int]] = {}

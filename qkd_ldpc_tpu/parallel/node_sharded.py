@@ -93,7 +93,16 @@ def bp_decode_node_sharded(
     shards the batch dimension as well.  N is padded internally to a
     multiple of the node-axis size with isolated dummy variables (no
     edges, strongly-biased LLR), so any code works on any mesh.
+    Flooding schedule only (``schedule='layered'`` raises — the layered
+    sweep runs on the single-device/trial-sharded paths); the residency-
+    compaction fields are ignored, as in the QC node-sharded decoder.
     """
+    if opts.schedule != "flooding":
+        raise ValueError(
+            "node-sharded decoding implements the flooding schedule only; "
+            f"schedule={opts.schedule!r} runs on the single-device or "
+            "trial-sharded paths (decoder/layered.py)"
+        )
     n_node = mesh.shape[NODE_AXIS]
     has_trial = TRIAL_AXIS in mesh.axis_names
     trial = TRIAL_AXIS if has_trial else None

@@ -175,12 +175,24 @@ def bp_decode_qc_node_sharded(
 
     ``code`` must carry a QC layout (``code.qc is not None``); ``mesh``
     must carry a ``node`` axis (a ``trial`` axis additionally shards the
-    batch).  Semantics match :func:`decoder.bp.bp_decode_batch_last`:
-    same update order, early-exit bookkeeping, clamp placement, peeled
-    unclipped first iteration, and storage-dtype quantization points.
+    batch).  Semantics match :func:`decoder.bp.bp_decode_batch_last` on
+    the FLOODING schedule: same update order, early-exit bookkeeping,
+    clamp placement, peeled unclipped first iteration, and storage-dtype
+    quantization points.  ``opts.schedule='layered'`` raises (the
+    layered sweep is a single-device/trial-sharded path,
+    decoder/layered.py); the residency-compaction fields are ignored —
+    they re-schedule batch lanes of the single-program loop and do not
+    apply to the node-sharded program (results are bit-identical with or
+    without compaction by construction, so nothing observable differs).
     """
     if code.qc is None:
         raise ValueError("QC node-sharding requires a QC code (codes.qc)")
+    if opts.schedule != "flooding":
+        raise ValueError(
+            "node-sharded decoding implements the flooding schedule only; "
+            f"schedule={opts.schedule!r} runs on the single-device or "
+            "trial-sharded paths (decoder/layered.py)"
+        )
     n_node = mesh.shape[NODE_AXIS]
     has_trial = TRIAL_AXIS in mesh.axis_names
     trial = TRIAL_AXIS if has_trial else None

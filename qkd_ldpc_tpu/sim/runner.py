@@ -436,12 +436,17 @@ def batch_simulation(
     sim_number = 0
     for si in sim_inputs:
         batch = auto_batch_size(cfg, si.code)
+        # Per-matrix options derive from the config-derived base every
+        # iteration (never mutate the shared `opts`: the auto batch size
+        # is per-matrix, so compaction sizing must not leak from one
+        # matrix into the next).
+        m_opts = opts
         if cfg.compact_after > 0 and batch >= 8:
             # Residency compaction: schedule-only, bit-identical
             # (decoder/bp.py).  Lanes = batch/4 — comfortably above the
             # unconverged fraction at any plateau point; waterfall
             # points overflow into the exact full-batch fallback.
-            opts = dataclasses.replace(
+            m_opts = dataclasses.replace(
                 opts, compact_after=cfg.compact_after,
                 compact_lanes=batch // 4,
             )
@@ -449,8 +454,8 @@ def batch_simulation(
             from qkd_ldpc_tpu.parallel.mesh import replicated
             from qkd_ldpc_tpu.parallel.sweep import make_point_dispatcher
 
-            mesh_dispatch = make_point_dispatcher(si.code, batch, opts, mesh,
-                                                  prng=cfg.prng)
+            mesh_dispatch = make_point_dispatcher(si.code, batch, m_opts,
+                                                  mesh, prng=cfg.prng)
             # Continuation points reuse a mesh-replicated code copy.
             code_dev = (
                 jax.device_put(si.code, replicated(mesh))
@@ -480,8 +485,8 @@ def batch_simulation(
                 )
             else:
                 futures, actual_qber = _dispatch_point(
-                    code_dev, point_key, qber, cfg.trials_number, batch, opts,
-                    prng=cfg.prng,
+                    code_dev, point_key, qber, cfg.trials_number, batch,
+                    m_opts, prng=cfg.prng,
                 )
             pending.append((sim_number, si, actual_qber, futures))
             if len(pending) > 1:  # keep one point in flight
@@ -500,7 +505,7 @@ def batch_simulation(
             futs, actuals = dispatch_sweep_continuation(
                 code_dev, [k for _, _, k in cont_entries],
                 [q for _, q, _ in cont_entries], cfg.trials_number,
-                batch, opts, mesh=mesh, prng=cfg.prng,
+                batch, m_opts, mesh=mesh, prng=cfg.prng,
             )
             for (num, _, _), f, aq in zip(cont_entries, futs, actuals):
                 pending.append((num, si, aq, f))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qkd_ldpc_tpu.channel import (
     derive_point_key,
@@ -192,6 +193,20 @@ def test_master_key_impl_validation():
 
     with pytest.raises(ValueError, match="prng impl"):
         master_key(777, "rbg")
+
+
+def test_unknown_prng_contract_rejected():
+    # A typo'd contract name must raise at the lowest-level entry, not
+    # silently fall back to the threefry stream (the caller would
+    # believe they measured contract v2 while running v1).
+    from qkd_ldpc_tpu.channel import make_trials_from_ids
+
+    pk = derive_point_key(777, 0)
+    ids = jnp.arange(4, dtype=jnp.uint32)
+    with pytest.raises(ValueError, match="Unknown prng contract"):
+        make_trials_from_ids(
+            pk, 64, ids, jnp.asarray(3, jnp.int32), prng="Pallas"
+        )
 
 
 def test_pallas_prng_falls_back_off_tpu():

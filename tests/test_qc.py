@@ -182,6 +182,25 @@ def test_qc_sidecar_round_trip(tmp_path, qc_code):
                                   np.asarray(gather.iterations))
 
 
+def test_qc_sidecar_removed_on_non_qc_overwrite(tmp_path, qc_code):
+    """Overwriting a previously-QC path with a non-QC code removes the
+    stale sidecar, so the fresh file round-trips (the writer must never
+    manufacture the mismatch the reader rejects)."""
+    from qkd_ldpc_tpu.codes import from_dense, read_alist
+    from qkd_ldpc_tpu.codes.alist import qc_sidecar_path
+    from tests import fixtures
+
+    p = tmp_path / "m.txt"
+    write_alist(qc_code, p)
+    assert qc_sidecar_path(p).exists()
+    plain = from_dense(np.array(fixtures.H_JOHNSON), name="johnson-6")
+    write_alist(plain, p)
+    assert not qc_sidecar_path(p).exists()
+    back = read_alist(p)
+    assert back.qc is None
+    np.testing.assert_array_equal(back.chk_adj, np.asarray(plain.chk_adj))
+
+
 def test_qc_sidecar_mismatch_rejected(tmp_path, qc_code):
     """A sidecar that does not describe the stored graph raises instead
     of silently mis-routing messages."""

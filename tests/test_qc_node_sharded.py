@@ -141,6 +141,22 @@ def test_qc_node_sharded_requires_qc(medium_code):
         )
 
 
+def test_qc_node_sharded_rejects_layered_schedule(qc_code, medium_code):
+    """Node-sharded decoding implements flooding only; a layered request
+    must raise instead of silently decoding with a different schedule
+    (the two produce different trajectory families)."""
+    from qkd_ldpc_tpu.parallel.node_sharded import decode_node_sharded
+
+    mesh = make_mesh(n_trial=1, n_node=8)
+    opts = DecodeOptions(max_iterations=5, schedule="layered")
+    llr, syn = _trial_llr_syn(qc_code, 0.02, batch=4, seed=0)
+    with pytest.raises(ValueError, match="flooding schedule only"):
+        decode_qc_node_sharded(qc_code, llr, syn, opts, mesh)
+    llr_m, syn_m = _trial_llr_syn(medium_code, 0.03, batch=4, seed=0)
+    with pytest.raises(ValueError, match="flooding schedule only"):
+        decode_node_sharded(medium_code, llr_m, syn_m, opts, mesh)
+
+
 def test_qc_node_sharded_roll_parity(qc_code):
     """The sharded program must agree with the single-chip ROLL routing
     too (roll vs gather is already pinned bit-identical in test_qc.py;
