@@ -105,96 +105,20 @@ def blocked_v3(s, bits, n_in, n_out, c):
     return _hash_apply_blocked(s, bits, n_in, n_out, c)
 
 
-def _build_diag_stack(s, n_in, n_out, c):
-    """[nD, c, c] int8 distinct-diagonal block stack (shear tiling)."""
-    nI = -(-n_out // c)
-    nJ = -(-n_in // c)
-    nD = nI + nJ - 1
-    Np, Mp = nJ * c, nI * c
-    spad = jnp.concatenate([
-        jnp.zeros((Np - n_in,), jnp.int8), s.astype(jnp.int8),
-        jnp.zeros((Mp - n_out,), jnp.int8),
-    ])
-    A = jnp.concatenate([spad, jnp.zeros((1,), jnp.int8)]).reshape(nD + 1, c)
-    locs = jnp.concatenate([A[:-1], A[1:, : c - 1]], axis=1)
-    V = jnp.concatenate(
-        [jnp.flip(locs, axis=1), jnp.zeros((nD, 1), jnp.int8)], axis=1
-    )
-    Vr = jnp.concatenate([V[:, c - 1 :], V[:, : c - 1]], axis=1)
-    return (
-        jnp.broadcast_to(Vr[:, None, :], (nD, c, 2 * c))
-        .reshape(nD, 2 * c * c)[:, : c * (2 * c - 1)]
-        .reshape(nD, c, 2 * c - 1)[:, :, :c]
-    )
-
-
-@partial(jax.jit, static_argnames=("n_in", "n_out", "c"))
 def blocked_v3x(s, bits, n_in, n_out, c):
-    """v3 with XOR parity accumulation (int8 acc instead of int32):
-    parity of a sum == XOR of parities, so the scan carry quarters."""
-    B = bits.shape[0]
-    nI = -(-n_out // c)
-    nJ = -(-n_in // c)
-    Dflat = _build_diag_stack(s, n_in, n_out, c).reshape(-1, c)
-    xb = (
-        jnp.pad(bits, ((0, 0), (0, nJ * c - n_in)))
-        .astype(jnp.int8).T.reshape(nJ, c, B)
-    )
+    """v3 with XOR parity accumulation (int8 acc instead of int32) —
+    now the production-selectable postprocess._hash_apply_blocked_xor."""
+    from qkd_ldpc_tpu.postprocess import _hash_apply_blocked_xor
 
-    def step(acc, J):
-        Dwin = jax.lax.dynamic_slice(
-            Dflat, ((nJ - 1 - J) * c, 0), (nI * c, c)
-        )
-        y = jax.lax.dot_general(
-            Dwin, xb[J], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        return acc ^ (y & 1).astype(jnp.int8), None
-
-    acc, _ = jax.lax.scan(
-        step, jnp.zeros((nI * c, B), jnp.int8),
-        jnp.arange(nJ, dtype=jnp.int32),
-    )
-    return acc[:n_out].astype(jnp.uint8).T
+    return _hash_apply_blocked_xor(s, bits, n_in, n_out, c)
 
 
-@partial(jax.jit, static_argnames=("n_in", "n_out", "c"))
 def blocked_v4(s, bits, n_in, n_out, c):
-    """Per-DIAGONAL scan: the D stack is read exactly once (one [c, c]
-    block per step); the sliding operand is a [c, nI*B] window of the
-    zero-extended frame matrix.  XOR parity accumulation."""
-    B = bits.shape[0]
-    nI = -(-n_out // c)
-    nJ = -(-n_in // c)
-    nD = nI + nJ - 1
-    D = _build_diag_stack(s, n_in, n_out, c)
-    xb = (
-        jnp.pad(bits, ((0, 0), (0, nJ * c - n_in)))
-        .astype(jnp.int8).T.reshape(nJ, c, B)
-    )
-    z = jnp.zeros((nI - 1, c, B), jnp.int8)
-    Xmat = (
-        jnp.concatenate([z, xb, z], axis=0)
-        .transpose(1, 0, 2).reshape(c, -1)
-    )  # column group p holds x block p - (nI - 1)
+    """Per-DIAGONAL scan (D stack read exactly once, XOR parity) — now
+    the production-selectable postprocess._hash_apply_blocked_diag."""
+    from qkd_ldpc_tpu.postprocess import _hash_apply_blocked_diag
 
-    def step(acc, e):
-        De = jax.lax.dynamic_index_in_dim(D, e, 0, keepdims=False)
-        win = jax.lax.dynamic_slice(
-            Xmat, (0, (nI + nJ - 2 - e) * B), (c, nI * B)
-        )
-        y = jax.lax.dot_general(
-            De, win, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        return acc ^ (y & 1).astype(jnp.int8), None
-
-    acc, _ = jax.lax.scan(
-        step, jnp.zeros((c, nI * B), jnp.int8),
-        jnp.arange(nD, dtype=jnp.int32),
-    )
-    out = acc.reshape(c, nI, B).transpose(1, 0, 2).reshape(nI * c, B)
-    return out[:n_out].astype(jnp.uint8).T
+    return _hash_apply_blocked_diag(s, bits, n_in, n_out, c)
 
 
 def main():

@@ -86,6 +86,44 @@ def _hash_apply(T: jax.Array, bits: jax.Array) -> jax.Array:
     return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
+def _build_diag_stack(s, n_in: int, n_out: int, c: int) -> jax.Array:
+    """[nD, c, c] int8 stack of the distinct block-Toeplitz diagonals,
+    built by vectorized shear tiling (contiguous copies only — see
+    :func:`_hash_apply_blocked` for the derivation)."""
+    nI = -(-n_out // c)
+    nJ = -(-n_in // c)
+    nD = nI + nJ - 1
+    Np, Mp = nJ * c, nI * c
+    # s' = [Np - n_in zeros | s | Mp - n_out zeros]: the front zeros
+    # pair with the zero-padded tail of x (columns j >= n_in), the rear
+    # zeros land in discarded rows (i >= n_out) — never observed.
+    # Block (I, J) entry (a, b) is s'[c*(I - J) + (a - b) + Np - 1], so
+    # local_e = s'[c*e : c*e + 2c - 1] with e = I - J + nJ - 1.
+    spad = jnp.concatenate([
+        jnp.zeros((Np - n_in,), jnp.int8), s.astype(jnp.int8),
+        jnp.zeros((Mp - n_out,), jnp.int8),
+    ])  # [Mp + Np - 1]
+    A = jnp.concatenate([spad, jnp.zeros((1,), jnp.int8)]).reshape(nD + 1, c)
+    locs = jnp.concatenate([A[:-1], A[1:, : c - 1]], axis=1)  # [nD, 2c-1]
+    V = jnp.concatenate(
+        [jnp.flip(locs, axis=1), jnp.zeros((nD, 1), jnp.int8)], axis=1
+    )  # [nD, 2c]
+    Vr = jnp.concatenate([V[:, c - 1 :], V[:, : c - 1]], axis=1)
+    return (
+        jnp.broadcast_to(Vr[:, None, :], (nD, c, 2 * c))
+        .reshape(nD, 2 * c * c)[:, : c * (2 * c - 1)]
+        .reshape(nD, c, 2 * c - 1)[:, :, :c]
+    )
+
+
+def _pad_frame_blocks(bits, n_in: int, nJ: int, c: int) -> jax.Array:
+    """[nJ, c, B] int8 zero-extended column blocks of the frame batch."""
+    return (
+        jnp.pad(bits, ((0, 0), (0, nJ * c - n_in)))
+        .astype(jnp.int8).T.reshape(nJ, c, bits.shape[0])
+    )
+
+
 @partial(jax.jit, static_argnames=("n_in", "n_out", "c"))
 def _hash_apply_blocked(
     s: jax.Array,  # [n_in + n_out - 1] seed bits (the classical message)
@@ -135,34 +173,8 @@ def _hash_apply_blocked(
     B = bits.shape[0]
     nI = -(-n_out // c)
     nJ = -(-n_in // c)
-    nD = nI + nJ - 1
-    Np, Mp = nJ * c, nI * c
-    # s' = [Np - n_in zeros | s | Mp - n_out zeros]: the front zeros
-    # pair with the zero-padded tail of x (columns j >= n_in), the rear
-    # zeros land in discarded rows (i >= n_out) — never observed.
-    # Block (I, J) entry (a, b) is s'[c*(I - J) + (a - b) + Np - 1], so
-    # local_e = s'[c*e : c*e + 2c - 1] with e = I - J + nJ - 1.
-    spad = jnp.concatenate([
-        jnp.zeros((Np - n_in,), jnp.int8), s.astype(jnp.int8),
-        jnp.zeros((Mp - n_out,), jnp.int8),
-    ])  # [Mp + Np - 1]
-    A = jnp.concatenate([spad, jnp.zeros((1,), jnp.int8)]).reshape(nD + 1, c)
-    locs = jnp.concatenate([A[:-1], A[1:, : c - 1]], axis=1)  # [nD, 2c-1]
-    V = jnp.concatenate(
-        [jnp.flip(locs, axis=1), jnp.zeros((nD, 1), jnp.int8)], axis=1
-    )  # [nD, 2c]
-    Vr = jnp.concatenate([V[:, c - 1 :], V[:, : c - 1]], axis=1)
-    D = (
-        jnp.broadcast_to(Vr[:, None, :], (nD, c, 2 * c))
-        .reshape(nD, 2 * c * c)[:, : c * (2 * c - 1)]
-        .reshape(nD, c, 2 * c - 1)[:, :, :c]
-    )
-    Dflat = D.reshape(nD * c, c)
-
-    xb = (
-        jnp.pad(bits, ((0, 0), (0, Np - n_in)))
-        .astype(jnp.int8).T.reshape(nJ, c, B)
-    )
+    Dflat = _build_diag_stack(s, n_in, n_out, c).reshape(-1, c)
+    xb = _pad_frame_blocks(bits, n_in, nJ, c)
 
     def step(acc, J):
         # Diagonals pairing x_block[J] with every I: e = I + (nJ-1-J),
@@ -183,6 +195,104 @@ def _hash_apply_blocked(
     return (acc[:n_out] & 1).astype(jnp.uint8).T
 
 
+@partial(jax.jit, static_argnames=("n_in", "n_out", "c"))
+def _hash_apply_blocked_xor(
+    s: jax.Array, bits: jax.Array, n_in: int, n_out: int, c: int
+) -> jax.Array:
+    """:func:`_hash_apply_blocked` with XOR-parity accumulation.
+
+    Parity of a sum equals the XOR of parities, so each scan step
+    reduces its block product mod 2 immediately and the carried
+    accumulator is int8 instead of int32 — quartering the accumulator's
+    read+write traffic per step (the per-J scan re-touches the full
+    [nI*c, B] carry every step).  Bit-identical to every other path
+    (tests/test_postprocess.py); hardware A/B vs "blocked"/"blocked-diag"
+    in benchmarks/amplify_lab.py decides the production default.
+    """
+    B = bits.shape[0]
+    nI = -(-n_out // c)
+    nJ = -(-n_in // c)
+    Dflat = _build_diag_stack(s, n_in, n_out, c).reshape(-1, c)
+    xb = _pad_frame_blocks(bits, n_in, nJ, c)
+
+    def step(acc, J):
+        Dwin = jax.lax.dynamic_slice(
+            Dflat, ((nJ - 1 - J) * c, 0), (nI * c, c)
+        )
+        y = jax.lax.dot_general(
+            Dwin, xb[J], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc ^ (y & 1).astype(jnp.int8), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((nI * c, B), jnp.int8),
+        jnp.arange(nJ, dtype=jnp.int32),
+    )
+    return acc[:n_out].astype(jnp.uint8).T
+
+
+@partial(jax.jit, static_argnames=("n_in", "n_out", "c"))
+def _hash_apply_blocked_diag(
+    s: jax.Array, bits: jax.Array, n_in: int, n_out: int, c: int
+) -> jax.Array:
+    """Per-DIAGONAL block-Toeplitz hash: the D stack is read exactly once.
+
+    The per-J scan of :func:`_hash_apply_blocked` re-reads an
+    [nI*c, c] window of the diagonal stack every step (~nJ * nI * c^2
+    int8 — the dominant traffic, ~33 GB at the 262k production shape).
+    Scanning per DIAGONAL e instead pairs ONE [c, c] block with a
+    contiguous [c, nI*B] window of the zero-extended frame matrix
+    (out block I accumulates D[e] @ x[I - e + nJ - 1]; for fixed e
+    those x blocks are consecutive), so the total traffic is
+    nD * (c^2 + 2 * c * nI * B) int8 — at 262k/c=256/B=32 about 18 GB,
+    roughly half of "blocked".  XOR-parity accumulation keeps the
+    [c, nI*B] carry int8.  Bit-identical to every other path; the
+    hardware A/B in benchmarks/amplify_lab.py decides the default.
+    """
+    B = bits.shape[0]
+    nI = -(-n_out // c)
+    nJ = -(-n_in // c)
+    nD = nI + nJ - 1
+    D = _build_diag_stack(s, n_in, n_out, c)
+    xb = _pad_frame_blocks(bits, n_in, nJ, c)
+    z = jnp.zeros((nI - 1, c, B), jnp.int8)
+    Xmat = (
+        jnp.concatenate([z, xb, z], axis=0)
+        .transpose(1, 0, 2).reshape(c, -1)
+    )  # column group p holds x block p - (nI - 1)
+
+    def step(acc, e):
+        De = jax.lax.dynamic_index_in_dim(D, e, 0, keepdims=False)
+        win = jax.lax.dynamic_slice(
+            Xmat, (0, (nI + nJ - 2 - e) * B), (c, nI * B)
+        )
+        y = jax.lax.dot_general(
+            De, win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc ^ (y & 1).astype(jnp.int8), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((c, nI * B), jnp.int8),
+        jnp.arange(nD, dtype=jnp.int32),
+    )
+    out = acc.reshape(c, nI, B).transpose(1, 0, 2).reshape(nI * c, B)
+    return out[:n_out].astype(jnp.uint8).T
+
+
+_BLOCKED_KERNELS = {
+    "blocked": _hash_apply_blocked,
+    "blocked-xor": _hash_apply_blocked_xor,
+    "blocked-diag": _hash_apply_blocked_diag,
+}
+# Which streaming formulation "auto" resolves to.  All three are
+# bit-identical; the choice is purely a bandwidth question, decided by
+# the interleaved hardware A/B (benchmarks/amplify_lab.py, recorded in
+# benchmarks/amplify.md).  "blocked" is the round-4 measured default
+# (166 ms/32-frame call at 262k, c=256); flip after the lab drains.
+_BLOCKED_DEFAULT = "blocked"
+
 # Above this many T entries the dense path materializes an unreasonable
 # matrix (2^26 bf16 = 128 MB) and the streaming path takes over.
 _DENSE_LIMIT = 1 << 26
@@ -195,26 +305,32 @@ def toeplitz_hash(
     block_out: int = 256,  # measured optimum at the 262k production
     # shape (166 ms vs 199 at c=512, benchmarks/amplify.md); output is
     # bit-identical for any block size
-    method: str = "auto",  # "auto" | "dense" | "blocked"
+    method: str = "auto",  # "auto" | "dense" | "blocked" | "blocked-xor"
+    #                        | "blocked-diag"
 ) -> jax.Array:
     """Hash key frames [B, n] (or [n]) to [B, n_out] (or [n_out]) bits.
 
     ``method='auto'`` uses the dense matmul for tag-sized work and the
-    streaming block-Toeplitz path once T would exceed ~128 MB; both
-    paths produce bit-identical output for the same seed.
+    streaming block-Toeplitz path (``_BLOCKED_DEFAULT`` formulation)
+    once T would exceed ~128 MB; every method produces bit-identical
+    output for the same seed.
     """
     arr = jnp.atleast_2d(jnp.asarray(bits, jnp.uint8))
     n_in = arr.shape[-1]
     if method == "auto":
-        method = "dense" if n_in * n_out <= _DENSE_LIMIT else "blocked"
+        method = (
+            "dense" if n_in * n_out <= _DENSE_LIMIT else _BLOCKED_DEFAULT
+        )
     if method == "dense":
         T = toeplitz_matrix(seed_key, n_in, n_out)
         out = _hash_apply(T, arr)
-    elif method == "blocked":
+    elif method in _BLOCKED_KERNELS:
         s = jax.random.bernoulli(seed_key, 0.5, (n_in + n_out - 1,)).astype(
             jnp.int8
         )
-        out = _hash_apply_blocked(s, arr, n_in, n_out, min(block_out, n_out))
+        out = _BLOCKED_KERNELS[method](
+            s, arr, n_in, n_out, min(block_out, n_out)
+        )
     else:
         raise ValueError(f"Unknown method {method!r}")
     return out[0] if jnp.asarray(bits).ndim == 1 else out

@@ -124,11 +124,17 @@ def test_blocked_hash_matches_dense():
     ]:
         bits = rng.integers(0, 2, (3, n_in), dtype=np.uint8)
         dense = toeplitz_hash(bits, key, n_out, method="dense")
-        blocked = toeplitz_hash(bits, key, n_out, block_out=bo,
-                                method="blocked")
-        np.testing.assert_array_equal(
-            np.asarray(dense), np.asarray(blocked), err_msg=str((n_in, n_out))
-        )
+        # All streaming formulations (blocked / XOR-parity / per-diagonal,
+        # the hardware A/B candidates in benchmarks/amplify_lab.py) must
+        # be bit-identical to the dense matmul, so the lab winner can
+        # become the production default without a numerics question.
+        for method in ("blocked", "blocked-xor", "blocked-diag"):
+            blocked = toeplitz_hash(bits, key, n_out, block_out=bo,
+                                    method=method)
+            np.testing.assert_array_equal(
+                np.asarray(dense), np.asarray(blocked),
+                err_msg=str((n_in, n_out, method)),
+            )
 
 
 def test_blocked_hash_large_frame():
