@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--trials", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=500)
     ap.add_argument("--z", type=int, default=32)
+    ap.add_argument("--code", default="fixture", dest="which",
+                    help="fixture (z=32 toy, honors --z) | qc-ref (the "
+                    "reference-profile N=10240 family) | qc (flagship "
+                    "z=512)")
+    ap.add_argument("--points", default="",
+                    help="comma-separated QBER points (default: the "
+                    "paired-study set 0.04..0.08)")
     args = ap.parse_args()
 
     from qkd_ldpc_tpu.channel.keys import master_key
@@ -38,7 +45,12 @@ def main():
     from qkd_ldpc_tpu.decoder.bp import DecodeOptions
     from qkd_ldpc_tpu.sim.runner import run_point
 
-    code = make_qc_code(z=args.z, nb=10, mb=5, dv=3, seed=7)
+    if args.which == "qc-ref":
+        code = make_qc_code(z=128, nb=80, mb=41, dv=3, seed=666)
+    elif args.which == "qc":
+        code = make_qc_code(z=512, nb=20, mb=10, dv=3, seed=666)
+    else:
+        code = make_qc_code(z=args.z, nb=10, mb=5, dv=3, seed=7)
     print(f"device: {jax.devices()[0]}  {code.name}  "
           f"trials/point={args.trials}", file=sys.stderr)
 
@@ -46,7 +58,11 @@ def main():
     la = dataclasses.replace(fl, schedule="layered")
     print(f"{'QBER':>6} {'FER fl':>9} {'FER la':>9} "
           f"{'it fl':>7} {'it la':>7} {'ratio':>6}")
-    for pi, qber in enumerate((0.04, 0.05, 0.06, 0.07, 0.075, 0.08)):
+    points = (
+        tuple(float(x) for x in args.points.split(","))
+        if args.points else (0.04, 0.05, 0.06, 0.07, 0.075, 0.08)
+    )
+    for pi, qber in enumerate(points):
         row = {}
         for name, opts in (("fl", fl), ("la", la)):
             key = jax.random.fold_in(master_key(424242, "threefry"), pi)
