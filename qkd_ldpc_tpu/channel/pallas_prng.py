@@ -58,7 +58,12 @@ def trial_words_pallas(
 
         def body(i, _):
             pltpu.prng_seed(seed_ref[base + i, 0], seed_ref[base + i, 1])
-            out_ref[pl.ds(i, 1)] = pltpu.prng_random_bits((1, 2, Np))
+            # prng_random_bits returns int32; the ref is uint32 — bitcast
+            # explicitly (a dtype-mismatched store is lowering-dependent
+            # behavior we must not rely on).
+            out_ref[pl.ds(i, 1)] = pltpu.bitcast(
+                pltpu.prng_random_bits((1, 2, Np)), jnp.uint32
+            )
             return 0
 
         jax.lax.fori_loop(0, g, body, 0)
