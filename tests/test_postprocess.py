@@ -149,6 +149,14 @@ def test_blocked_hash_large_frame():
     bits = rng.integers(0, 2, (2, n_in), dtype=np.uint8)
     out = np.asarray(toeplitz_hash(bits, key, n_out, method="blocked"))
     assert out.shape == (2, n_out)
+    # 'auto' must resolve to a valid streaming formulation here (T is
+    # ~8 GB dense) and agree with the explicit blocked path — guards the
+    # _BLOCKED_DEFAULT flip when the hardware A/B picks a winner.
+    from qkd_ldpc_tpu.postprocess import _BLOCKED_DEFAULT, _BLOCKED_KERNELS
+
+    assert _BLOCKED_DEFAULT in _BLOCKED_KERNELS
+    auto = np.asarray(toeplitz_hash(bits, key, n_out))
+    np.testing.assert_array_equal(out, auto)
     # Oracle: y_i = parity(s[i - j + n_in - 1] * x_j) on a few rows.
     s = np.asarray(jax.random.bernoulli(key, 0.5, (n_in + n_out - 1,)))
     j = np.arange(n_in)
