@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--alg", default="sum-product")
+    ap.add_argument("--z", type=int, default=512)
+    ap.add_argument("--nb", type=int, default=20)
+    ap.add_argument("--mb", type=int, default=10)
     ap.add_argument("--skip-general", action="store_true",
                     help="skip the general node-sharded leg (slow compile)")
     args = ap.parse_args()
@@ -55,7 +58,9 @@ def main():
 
     enable_compilation_cache()
     # The shipping QC flagship (bench.py): z=512, nb=20, mb=10, girth>=6.
-    code = make_qc_code(z=512, nb=20, mb=10, dv=3, seed=666).to_device()
+    code = make_qc_code(
+        z=args.z, nb=args.nb, mb=args.mb, dv=3, seed=666
+    ).to_device()
     B, reps = args.batch, args.reps
     N, M = code.n_vars, code.n_checks
     rng = np.random.default_rng(0)
@@ -85,8 +90,23 @@ def main():
             code, llr, syn.astype(jnp.int32), opts, mesh1
         )[1]
 
+    opts_lay = dataclasses.replace(opts, schedule="layered", backend="auto")
+
+    def single_layered():
+        return _bp_decode_jit(code, llr, syn, opts_lay)[1]
+
+    def qc_sharded_layered():
+        return _decode_qc_node_sharded_jit(
+            code, llr, syn.astype(jnp.int32), opts_lay, mesh1
+        )[1]
+
     legs = {"single-chip fused pallas": single,
-            "QC node-sharded (1-dev)": qc_sharded}
+            "QC node-sharded (1-dev)": qc_sharded,
+            # Round 5: the layered x node-sharded composition's per-shard
+            # sweep cost (one sweep = mb serial layers = one flooding
+            # iteration's edge work; ~half the sweeps to converge).
+            "single-chip layered (XLA)": single_layered,
+            "QC node-sharded layered": qc_sharded_layered}
     if not args.skip_general:
         legs["general node-sharded"] = gen_sharded
 

@@ -57,6 +57,26 @@ Composes with trial-grid data parallelism on a 2-D ``(trial, node)``
 mesh exactly like the general decoder.  Codes whose ``nb`` does not
 divide the mesh pad with edgeless dummy blocks (LLR pinned positive).
 
+Round 5 adds the LAYERED schedule on the same shard plan (verdict r4
+item 4: the schedule that halves sweeps and the decoder that shards
+giant frames were mutually exclusive).  Layers are base ROWS of the
+lift; the shard plan is base COLUMNS — so one layer's check update
+needs its row's ``dc`` cells, spread over the shards.  Per layer each
+shard computes its local cells' bit->check messages and ONE
+``all_gather`` of a [z, B]-sized partial (sum-product: the masked local
+tanh product; min-sum: the packed local top-2/sign stats) closes the
+leave-one-out exactly as the flooding path's full-matrix gather does —
+then every shard updates its own total-LLR blocks immediately, so later
+layers in the same sweep see earlier layers' corrections.  Traffic per
+sweep: ``mb`` collectives of [n, z, B] vs flooding's one of [n, M, B] =
+[n, mb*z, B] — the SAME bytes, ``mb``x the collective count (latency,
+not bandwidth); at ~half the sweeps to converge (benchmarks/layered.md)
+the composition moves ~half the bytes of flooding node-sharding
+end-to-end.  Semantics match decoder/layered.py::layered_decode_batch_last
+(same update order within a row = ascending global slot order, same
+clip/storage-rounding points, no peeled unclipped first sweep); min-sum
+is bit-identical on any mesh for the same reason the flooding path is.
+
 Reference contrast: the reference decodes one frame per CPU thread with
 cursor scatters (src/qkd_ldpc_algorithm.cpp:56-72,128-139) and has no
 intra-frame parallelism at all (SURVEY.md §2); this axis is TPU-native.
@@ -176,22 +196,23 @@ def bp_decode_qc_node_sharded(
     ``code`` must carry a QC layout (``code.qc is not None``); ``mesh``
     must carry a ``node`` axis (a ``trial`` axis additionally shards the
     batch).  Semantics match :func:`decoder.bp.bp_decode_batch_last` on
-    the FLOODING schedule: same update order, early-exit bookkeeping,
-    clamp placement, peeled unclipped first iteration, and storage-dtype
-    quantization points.  ``opts.schedule='layered'`` raises (the
-    layered sweep is a single-device/trial-sharded path,
-    decoder/layered.py); the residency-compaction fields are ignored —
-    they re-schedule batch lanes of the single-program loop and do not
-    apply to the node-sharded program (results are bit-identical with or
-    without compaction by construction, so nothing observable differs).
+    the same schedule: ``opts.schedule='flooding'`` mirrors the fused
+    flooding loop (update order, early-exit bookkeeping, clamp
+    placement, peeled unclipped first iteration, storage-dtype
+    quantization points); ``opts.schedule='layered'`` mirrors
+    :func:`decoder.layered.layered_decode_batch_last` (serial per-layer
+    total-LLR updates, no peeled unclipped first sweep — see the module
+    docstring for the per-layer collective structure).  The
+    residency-compaction fields are ignored — they re-schedule batch
+    lanes of the single-program loop and do not apply to the
+    node-sharded program (results are bit-identical with or without
+    compaction by construction, so nothing observable differs).
     """
     if code.qc is None:
         raise ValueError("QC node-sharding requires a QC code (codes.qc)")
-    if opts.schedule != "flooding":
-        raise ValueError(
-            "node-sharded decoding implements the flooding schedule only; "
-            f"schedule={opts.schedule!r} runs on the single-device or "
-            "trial-sharded paths (decoder/layered.py)"
+    if opts.schedule == "layered":
+        return _bp_decode_qc_node_sharded_layered(
+            code, llr, syndrome, opts, mesh
         )
     n_node = mesh.shape[NODE_AXIS]
     has_trial = TRIAL_AXIS in mesh.axis_names
@@ -422,6 +443,243 @@ def bp_decode_qc_node_sharded(
         jnp.asarray(plan.chk_gslot), chk_valid,
         jnp.asarray(plan.var_t), jnp.asarray(plan.var_i),
         jnp.asarray(plan.var_shift), var_valid,
+    )
+    return zdec[:N], iters, ok
+
+
+def _bp_decode_qc_node_sharded_layered(
+    code: LDPCCode,
+    llr: jax.Array,  # [N, B] a-priori LLRs (batch last)
+    syndrome: jax.Array,  # [M, B] target syndrome (batch last)
+    opts: DecodeOptions,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Layered schedule on the QC column-block shard plan.
+
+    One sweep = ``mb`` serial layers; per layer ONE all_gather of a
+    [z, B] partial closes the row's leave-one-out across shards, then
+    each shard applies the delta to its own total-LLR blocks
+    immediately.  Trajectory family = decoder/layered.py (min-sum
+    bit-identical on any mesh; sum-product decision/iteration-equal,
+    its cross-shard product grouping differing only at shard
+    boundaries).
+    """
+    n_node = mesh.shape[NODE_AXIS]
+    has_trial = TRIAL_AXIS in mesh.axis_names
+    trial = TRIAL_AXIS if has_trial else None
+
+    plan = build_qc_shard_plan(code.qc, n_node)
+    z, mb, nb_s, u = plan.z, plan.mb, plan.nb_s, plan.u
+    N = code.n_vars
+    B = llr.shape[1]
+    dtype = llr.dtype
+    n_pad = nb_s * n_node * z - N
+
+    if opts.message_dtype == "bfloat16":
+        mdt, scale = jnp.bfloat16, None
+    elif opts.message_dtype == "int8":
+        mdt, scale = jnp.int8, opts.int8_scale
+    else:
+        mdt, scale = dtype, None
+
+    def to_storage(x):
+        if scale is None:
+            return x.astype(mdt)
+        return jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+
+    def from_storage(q):
+        if scale is None:
+            return q.astype(dtype)
+        return q.astype(dtype) * scale
+
+    llr_p = jnp.concatenate(
+        [llr, jnp.full((n_pad, B), 1.0, dtype)]
+    ) if n_pad else llr
+    syndrome = syndrome.astype(jnp.int32)
+    threshold = jnp.asarray(opts.message_threshold, dtype)
+
+    def clip_msgs(x):
+        if opts.clip_messages:
+            return jnp.clip(x, -threshold, threshold)
+        return x
+
+    chk_valid = jnp.asarray(plan.chk_col >= 0)  # [n, u, mb]
+    dc_sentinel = jnp.int32(int(plan.chk_gslot.max()))
+    lr_zero = to_storage(jnp.zeros((), dtype)).dtype
+
+    def shard_fn(llr_s, syn, chk_col, chk_shift, chk_gslot, chk_ok):
+        """One node shard: llr_s [Nl, B]; syn [M, B] node-replicated;
+        plan tables [1, u, mb] (this shard's slice)."""
+        chk_col, chk_shift, chk_gslot, chk_ok = (
+            chk_col[0], chk_shift[0], chk_gslot[0], chk_ok[0]
+        )
+        Bl = llr_s.shape[1]
+        syn_rows = syn.reshape(mb, z, Bl)
+        sgn_rows = jnp.where(syn_rows == 1, -1.0, 1.0).astype(dtype)
+        me = jax.lax.axis_index(NODE_AXIS)
+        not_me = (jnp.arange(n_node) != me)[:, None, None]
+
+        def gather_layer(x3, i):
+            """[nb_s, z, Bl] local blocks -> this shard's [u, z, Bl]
+            compact cells of layer i, each a rotation realized as two
+            contiguous dynamic slices (block pick + doubled-block
+            slice) — never a gather descriptor.  Invalid slots (col
+            sentinel -1 clamps to block 0) carry garbage; every
+            consumer masks on ``chk_ok[:, i]``."""
+            outs = []
+            for t in range(u):
+                blk = jax.lax.dynamic_slice(
+                    x3, (chk_col[t, i], 0, 0), (1, z, Bl)
+                )[0]
+                bd = jnp.concatenate([blk, blk], axis=0)
+                outs.append(jax.lax.dynamic_slice(
+                    bd, (chk_shift[t, i], 0), (z, Bl)
+                ))
+            return jnp.stack(outs)  # [u, z, Bl]
+
+        def layer_check_update(Lq, i, v3):
+            """Cross-shard leave-one-out for layer i's local cells.
+            Lq [u, z, Bl]; v3 [u, 1, 1] validity; returns Lr_new
+            [u, z, Bl] (garbage at invalid slots — callers mask)."""
+            sgn = sgn_rows[i]
+            if opts.algorithm == "min-sum":
+                gslot3 = chk_gslot[:, i][:, None, None]
+                absL = jnp.where(v3, jnp.abs(Lq), jnp.inf)
+                bits = jax.lax.bitcast_convert_type(
+                    absL.astype(jnp.float32), jnp.int32
+                )
+                neg = jnp.where(v3 & (Lq < 0), jnp.int32(1), jnp.int32(0))
+                min1_l = jnp.minimum(jnp.min(bits, axis=0), _INF_BITS)
+                at1 = bits == min1_l[None]
+                slot1_l = jnp.min(
+                    jnp.where(at1, gslot3, dc_sentinel), axis=0
+                )
+                own_l = at1 & (gslot3 == slot1_l[None])
+                min2_l = jnp.minimum(
+                    jnp.min(jnp.where(own_l, _INF_BITS, bits), axis=0),
+                    _INF_BITS,
+                )
+                local = jnp.stack(
+                    [min1_l, slot1_l, min2_l, jnp.sum(neg, axis=0)]
+                )  # [4, z, Bl]
+                allc = jax.lax.all_gather(local, NODE_AXIS)  # [n, 4, z, Bl]
+                c_min1, c_slot1, c_min2, c_neg = (
+                    allc[:, 0], allc[:, 1], allc[:, 2], allc[:, 3]
+                )
+                min1_g = jnp.min(c_min1, axis=0)
+                slot1_g = jnp.min(
+                    jnp.where(c_min1 == min1_g, c_slot1, dc_sentinel), axis=0
+                )
+                ex1 = (c_min1 == min1_g) & (c_slot1 == slot1_g)
+                min2_g = jnp.minimum(
+                    jnp.min(jnp.where(ex1, _INF_BITS, c_min1), axis=0),
+                    jnp.min(c_min2, axis=0),
+                )
+                row_neg = jnp.sum(c_neg, axis=0)
+                own_g = at1 & (gslot3 == slot1_g[None])
+                loo_bits = jnp.where(own_g, min2_g[None], min1_g[None])
+                loo = jax.lax.bitcast_convert_type(
+                    loo_bits, jnp.float32
+                ).astype(dtype)
+                loo_neg = (row_neg[None] - neg) & 1
+                sign = jnp.where(loo_neg == 1, -1.0, 1.0) * sgn[None]
+                if opts.min_sum_beta:
+                    loo = jnp.maximum(loo - opts.min_sum_beta, 0.0)
+                return opts.min_sum_alpha * sign * loo
+            t_ = jnp.where(v3, jnp.tanh(Lq * 0.5), 1.0)
+            pre, suf = _exclusive_cumprod(t_)
+            P_loc = pre[-1] * t_[-1]  # [z, Bl]
+            allP = jax.lax.all_gather(P_loc, NODE_AXIS)  # [n, z, Bl]
+            others = jnp.prod(
+                jnp.where(not_me, allP, jnp.ones((), t_.dtype)), axis=0
+            )
+            x = pre * suf * (others * sgn)[None]
+            return jnp.log1p(2.0 * x / (1.0 - x))
+
+        def sweep(t_loc, Lr, act_b):
+            """One serial pass over all mb layers (static unroll, like
+            decoder/layered.py); act_b [Bl] bool gates every update."""
+            for i in range(mb):
+                v3 = chk_ok[:, i][:, None, None]
+                gact = v3 & act_b[None, None, :]
+                tot_cells = gather_layer(t_loc, i)
+                Lr_i = from_storage(Lr[:, i])
+                Lq = clip_msgs(tot_cells - Lr_i)
+                Lr_new_q = to_storage(clip_msgs(layer_check_update(Lq, i, v3)))
+                delta = jnp.where(gact, from_storage(Lr_new_q) - Lr_i,
+                                  jnp.zeros((), dtype))
+                for t in range(u):
+                    dd = jnp.concatenate([delta[t], delta[t]], axis=0)
+                    start = jnp.remainder(z - chk_shift[t, i], z)
+                    inv = jax.lax.dynamic_slice(dd, (start, 0), (z, Bl))
+                    cur = jax.lax.dynamic_slice(
+                        t_loc, (chk_col[t, i], 0, 0), (1, z, Bl)
+                    )
+                    # Invalid/inactive slots carry delta 0; the clamped
+                    # sentinel block index then adds zero to block 0.
+                    t_loc = jax.lax.dynamic_update_slice(
+                        t_loc, cur + inv[None], (chk_col[t, i], 0, 0)
+                    )
+                Lr = Lr.at[:, i].set(jnp.where(gact, Lr_new_q, Lr[:, i]))
+            return t_loc, Lr
+
+        def syndrome_ok(t_loc):
+            """Decision syndrome == target, per frame ([Bl] bool): local
+            slot counts per layer, ONE integer psum, parity compare."""
+            zdec = (t_loc <= 0).astype(jnp.int32)  # [nb_s, z, Bl]
+            counts = []
+            for i in range(mb):
+                cells = gather_layer(zdec, i)  # [u, z, Bl]
+                cells = jnp.where(chk_ok[:, i][:, None, None], cells, 0)
+                counts.append(jnp.sum(cells, axis=0))
+            parity = jax.lax.psum(jnp.stack(counts), NODE_AXIS) & 1
+            return jnp.all(parity == syn_rows, axis=(0, 1))
+
+        t0 = llr_s.reshape(nb_s, z, Bl)
+        Lr0 = jnp.zeros((u, mb, z, Bl), lr_zero)
+
+        def body(carry):
+            t_loc, Lr, it, iters, done = carry
+            act = jnp.logical_not(done)
+            t_loc, Lr = sweep(t_loc, Lr, act)
+            it = it + 1
+            newly = act & syndrome_ok(t_loc)
+            iters = jnp.where(newly, it, iters)
+            done = jnp.logical_or(done, newly)
+            return t_loc, Lr, it, iters, done
+
+        def cond(carry):
+            _, _, it, _, done = carry
+            return jnp.logical_and(
+                it < opts.max_iterations, ~jnp.all(done)
+            )
+
+        init = (
+            t0, Lr0, jnp.asarray(0, jnp.int32),
+            jnp.zeros((Bl,), jnp.int32), jnp.zeros((Bl,), bool),
+        )
+        t_loc, _, _, iters, done = jax.lax.while_loop(cond, body, init)
+        z_out = (t_loc <= 0).astype(jnp.int8).reshape(nb_s * z, Bl)
+        iters = jnp.where(
+            done, jnp.maximum(iters, 1), opts.max_iterations
+        )
+        return z_out, iters, done
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(NODE_AXIS, trial),  # llr
+            P(None, trial),  # syndrome
+            P(NODE_AXIS), P(NODE_AXIS), P(NODE_AXIS), P(NODE_AXIS),
+        ),
+        out_specs=(P(NODE_AXIS, trial), P(trial), P(trial)),
+        check_vma=False,
+    )
+    zdec, iters, ok = sharded(
+        llr_p, syndrome,
+        jnp.asarray(plan.chk_col), jnp.asarray(plan.chk_shift),
+        jnp.asarray(plan.chk_gslot), chk_valid,
     )
     return zdec[:N], iters, ok
 
