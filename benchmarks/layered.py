@@ -76,8 +76,15 @@ def main():
 
     base = DecodeOptions(max_iterations=100, message_dtype="bfloat16")
     runs = {}
+    # "layered" resolves backend=auto -> the fused one-sweep Pallas
+    # kernel on TPU (decoder/pallas_layered, round 5); "lay-xla" pins
+    # the round-4 XLA lowering (mb sequential layer steps) so the A/B
+    # separates the schedule's sweep saving from the kernel's
+    # per-sweep saving.
     for name, o in (("flooding", base),
-                    ("layered", dataclasses.replace(base, schedule="layered"))):
+                    ("layered", dataclasses.replace(base, schedule="layered")),
+                    ("lay-xla", dataclasses.replace(
+                        base, schedule="layered", backend="xla"))):
         runs[name] = _undecodable(code, o, B, reps, seed=17)
 
     # Interleaved per-iteration timing.
@@ -109,6 +116,8 @@ def main():
     for name, o in (("flooding", dataclasses.replace(
                         base, compact_after=8, compact_lanes=B // 4)),
                     ("layered", dataclasses.replace(base, schedule="layered")),
+                    ("lay-xla", dataclasses.replace(
+                        base, schedule="layered", backend="xla")),
                     ("lay+cmp", dataclasses.replace(
                         base, schedule="layered",
                         compact_after=4, compact_lanes=B // 4))):

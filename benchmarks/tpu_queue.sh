@@ -49,9 +49,13 @@ run prng_lab           3600 python benchmarks/prng_lab.py
 # 3. QC node-sharded per-shard compute (target <=1.5x single-chip).
 run qc_nodeshard       3600 python benchmarks/qc_nodeshard_compute.py
 
-# 4. layered vs flooding (+ layered+compaction e2e leg).
+# 4. layered vs flooding (+ layered+compaction e2e leg).  On TPU the
+#    layered schedule now resolves to the fused one-sweep Pallas kernel
+#    (decoder/pallas_layered, round 5); the -xla leg pins the round-4
+#    XLA lowering so the A/B separates schedule gain from kernel gain.
 run layered            3600 python benchmarks/layered.py
 run bench-layered      3600 env BENCH_SCHEDULE=layered python bench.py
+run bench-layered-xla  3600 env BENCH_SCHEDULE=layered BENCH_BACKEND=xla python bench.py
 
 # 5. amplification: block-Toeplitz at 262k (target <=~100 ms / 32 frames).
 run amplify_lab        3600 python benchmarks/amplify_lab.py

@@ -103,6 +103,16 @@ def layered_decode_batch_last(
             "schedule='layered' requires a QC code (codes.qc; generate "
             "with make_qc_code or cli generate --qc)"
         )
+    if opts.resolve_backend() == "pallas":
+        # Fused one-sweep-per-program kernel (decoder/pallas_layered):
+        # bit-identical to the loop below; returns None when the config
+        # cannot be served (z not a multiple of 128 on hardware, or the
+        # resident state exceeds the VMEM budget) and we fall through.
+        from qkd_ldpc_tpu.decoder.pallas_layered import try_layered_pallas
+
+        res = try_layered_pallas(code, llr, syndrome, opts)
+        if res is not None:
+            return res
     z, nb, mb, rows = _row_tables(code.qc)
     ncells = sum(len(r) for r in rows)
     B = llr.shape[1]
