@@ -29,7 +29,7 @@ run() {
 }
 
 echo "== queue start $(date) ==" | tee -a "$LOG"
-if ! timeout 90 python -c "import jax; print(jax.devices())" >>"$LOG" 2>&1; then
+if ! timeout 90 python -c "import jax; d = jax.devices(); print(d); assert d[0].platform != 'cpu', 'cpu fallback is not a live tunnel'" >>"$LOG" 2>&1; then
   echo "tunnel still down; aborting" | tee -a "$LOG"
   exit 1
 fi

@@ -10,7 +10,7 @@ QUEUE_LOG=${2:-/tmp/tpu_queue_r4.log}
 
 echo "== watch start $(date) ==" | tee -a "$LOG"
 while true; do
-  if timeout -k 10 90 python -c "import jax; print(jax.devices())" >>"$LOG" 2>&1; then
+  if timeout -k 10 90 python -c "import jax; d = jax.devices(); print(d); assert d[0].platform != 'cpu', 'cpu fallback is not a live tunnel'" >>"$LOG" 2>&1; then
     echo "tunnel UP at $(date); draining queue" | tee -a "$LOG"
     bash benchmarks/tpu_queue.sh "$QUEUE_LOG"
     echo "queue finished at $(date)" | tee -a "$LOG"
