@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--points", default="",
                     help="comma-separated QBER points (default: the "
                     "paired-study set 0.04..0.08)")
+    ap.add_argument("--alg", default="sum-product",
+                    choices=("sum-product", "min-sum"),
+                    help="check-update rule for BOTH schedules (min-sum "
+                    "uses the production alpha/beta defaults)")
     args = ap.parse_args()
 
     from qkd_ldpc_tpu.channel.keys import master_key
@@ -54,7 +58,8 @@ def main():
     print(f"device: {jax.devices()[0]}  {code.name}  "
           f"trials/point={args.trials}", file=sys.stderr)
 
-    fl = DecodeOptions(max_iterations=100, message_dtype="bfloat16")
+    fl = DecodeOptions(max_iterations=100, message_dtype="bfloat16",
+                       algorithm=args.alg)
     la = dataclasses.replace(fl, schedule="layered")
     print(f"{'QBER':>6} {'FER fl':>9} {'FER la':>9} "
           f"{'it fl':>7} {'it la':>7} {'ratio':>6}")
